@@ -1,0 +1,231 @@
+"""The pinned analyzer: tokenize -> normalize -> stop-filter.
+
+Reference semantics (SURVEY.md §2.8, C1-C5): the reference lemmatizer
+(``services/morphology/LemmaFinderImpl.java:34-75``) lowercases (C1, :35,38),
+strips a punctuation class to spaces (C2, regex at :21), splits on whitespace
+(C3, :38), expands each surviving token to >=1 "normal forms" all of which are
+counted (C4, :40-44 — one surface token may emit multiple lemmas), and drops
+service words (C5, :62-75 — stop tags or short morph info).
+
+The reference's analyzer is a Russian-only Lucene artifact
+(``LemmaFinderImpl.java:27``) that drops every non-Cyrillic token — useless for
+a source-code corpus — so per FIXTURES.md §6 the analyzer *shape* is pinned
+here (shared verbatim by the pure-Python oracle in ``tests/oracle.py``):
+
+1. identifier split: camelCase boundaries -> space (snake_case splits anyway
+   because ``_`` is in the punct class);
+2. lowercase;
+3. strip ``[\\p{Punct}0-9№©◄«»—…]`` -> space (the reference's class verbatim,
+   ``LemmaFinderImpl.java:21``);
+4. split on ``\\s+``;
+5. drop token if ``len(token) <= 3`` (C5 analog of the short-morph-info rule,
+   ``LemmaFinderImpl.java:70``) or token in the pinned stop-set (C5 stop-tag
+   rule, ``:64-69``);
+6. normal forms: pinned exception table (else identity), every form counted
+   (C4 multi-lemma rule, ``LemmaFinderImpl.java:40-44``).
+
+Any change here invalidates all golden fixtures.
+
+Two executions of the SAME pinned definition:
+
+- ``tokenize_jvm``    pure Catalyst expressions (regexp_replace / split /
+  explode / broadcast-join for the exception table).  Whole-stage codegen,
+  zero Python in the hot path.  This is the default build path.
+- ``tokenize_arrow``  ``mapInPandas`` over Arrow batches, vectorized pandas
+  string ops (no per-row Python).  The shape mandated by BASELINE.json
+  ``input_hint``; also the extension point where a real morphology /
+  tree-sitter analyzer would plug in.
+
+``tests/test_analyzer.py`` asserts the two agree row-for-row.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:
+    import pandas as pd
+    from pyspark.sql import DataFrame
+
+# --- pinned definition ------------------------------------------------------
+
+# camelCase boundaries (applied before lowercasing)
+_CAMEL_1 = ("([a-z0-9])([A-Z])", "$1 $2")  # fooBar -> foo Bar
+_CAMEL_2 = ("([A-Z]+)([A-Z][a-z])", "$1 $2")  # HTTPServer -> HTTP Server
+
+# The reference's strip class (LemmaFinderImpl.java:21) verbatim.  Java regex
+# (JVM path) can use \p{Punct}; the Python mirror expands it to the ASCII
+# punctuation block explicitly so both engines strip identical characters.
+_STRIP_JAVA = r"[\p{Punct}0-9№©◄«»—…]"
+_STRIP_PY = r"[!-/:-@\[-`{-~0-9№©◄«»—…]"
+
+MIN_TOKEN_LEN = 4  # tokens of length <= 3 are dropped (C5 analog)
+
+# Pinned stop-set: English service words (>=4 chars; shorter ones die on the
+# length rule) + source-code keywords per the fixture langs {py,java,js,md}.
+STOP_WORDS: frozenset[str] = frozenset(
+    {
+        # english service words
+        "the", "and", "for", "with", "this", "that", "from", "are", "was",
+        "were", "has", "have", "had", "not", "but", "you", "all", "can",
+        "will", "into", "then", "than", "when", "where", "which", "while",
+        "your", "their", "there", "what", "been", "being", "over", "under",
+        # code keywords (py / java / js)
+        "def", "return", "import", "class", "public", "private", "protected",
+        "static", "void", "function", "const", "else", "elif", "true",
+        "false", "null", "none", "self", "super", "new", "try", "except",
+        "catch", "finally", "throw", "throws", "raise", "lambda", "yield",
+        "async", "await", "break", "continue", "pass", "global", "nonlocal",
+        "interface", "extends", "implements", "package", "final", "abstract",
+        "boolean", "double", "float", "long", "short", "byte", "char",
+    }
+)
+
+# Pinned normal-forms exception table (C4): token -> tuple of lemmas, each
+# counted.  Everything not listed maps to itself.
+NORMAL_FORMS: dict[str, tuple[str, ...]] = {
+    "норма": ("норма", "нормаль"),   # the FIXTURES.md multi-lemma marker
+    "geese": ("goose", "geese"),     # an ASCII multi-lemma case for tests
+}
+
+# --- pure-Python core (shared with tests/oracle.py) -------------------------
+
+_camel1_re = re.compile(_CAMEL_1[0])
+_camel2_re = re.compile(_CAMEL_2[0])
+_strip_re = re.compile(_STRIP_PY)
+
+
+def analyze(text: str) -> list[str]:
+    """text -> lemma stream (with repetition), per the pinned definition."""
+    if not text:
+        return []
+    s = _camel1_re.sub(r"\1 \2", text)
+    s = _camel2_re.sub(r"\1 \2", s)
+    s = _strip_re.sub(" ", s.lower())
+    out: list[str] = []
+    for tok in s.split():
+        if len(tok) < MIN_TOKEN_LEN or tok in STOP_WORDS:
+            continue
+        out.extend(NORMAL_FORMS.get(tok, (tok,)))
+    return out
+
+
+def collect_lemmas(text: str) -> dict[str, int]:
+    """Per-document lemma -> count map (LemmaFinderImpl.collectLemmas analog,
+    LemmaFinderImpl.java:34-47)."""
+    return dict(Counter(analyze(text)))
+
+
+# --- JVM path (default): pure Catalyst expressions --------------------------
+
+
+def _jvm_token_col(text_col):
+    """Column expr: text -> array<string> of raw tokens (pre normal-forms)."""
+    from pyspark.sql import functions as F
+
+    c = F.regexp_replace(text_col, _CAMEL_1[0], _CAMEL_1[1])
+    c = F.regexp_replace(c, _CAMEL_2[0], _CAMEL_2[1])
+    c = F.regexp_replace(F.lower(c), _STRIP_JAVA, " ")
+    return F.split(F.trim(c), r"\s+")
+
+
+def tokenize_jvm(docs: DataFrame, text_col: str = "content",
+                 id_cols: str | list[str] = "doc_id") -> DataFrame:
+    """(ids..., text) -> (ids..., lemma) one row per lemma occurrence.
+
+    Entirely whole-stage-codegen: regexp_replace/lower/split/explode, a
+    length/stop filter, and a broadcast left join against the (tiny) pinned
+    exception table for multi-lemma expansion.  At 100 TB this is the path
+    that matters: no Python, no Arrow transfer, content column never
+    shuffled (explode happens map-side before any exchange).
+    """
+    from pyspark.sql import functions as F
+
+    ids = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    spark = docs.sparkSession
+    stop_arr = F.array(*[F.lit(w) for w in sorted(STOP_WORDS)])
+
+    toks = (
+        docs.select(*ids, F.explode(_jvm_token_col(F.col(text_col))).alias("token"))
+        .filter(F.length("token") >= MIN_TOKEN_LEN)
+        .filter(~F.array_contains(stop_arr, F.col("token")))
+    )
+    if NORMAL_FORMS:
+        exc = spark.createDataFrame(
+            [(k, list(v)) for k, v in NORMAL_FORMS.items()], "token string, forms array<string>"
+        )
+        toks = (
+            toks.join(F.broadcast(exc), "token", "left")
+            .select(
+                *ids,
+                F.explode(
+                    F.coalesce(F.col("forms"), F.array(F.col("token")))
+                ).alias("lemma"),
+            )
+        )
+    else:
+        toks = toks.select(*ids, F.col("token").alias("lemma"))
+    return toks
+
+
+# --- Arrow path: mapInPandas, vectorized pandas string ops ------------------
+
+
+def tokenize_arrow(docs: DataFrame, text_col: str = "content",
+                   id_cols: str | list[str] = "doc_id") -> DataFrame:
+    """Same contract as :func:`tokenize_jvm`, executed as a vectorized
+    pandas/Arrow UDF (``mapInPandas``) — the BASELINE.json ``input_hint``
+    shape, and the hook where a real (non-regex) analyzer would live.
+
+    All operations are pandas-vectorized over each Arrow batch: no per-row
+    Python function calls.
+    """
+    import pandas as pd  # noqa: F401 (runtime import keeps module import light)
+
+    ids = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    id_fields = ", ".join(
+        f"{c} {docs.schema[c].dataType.simpleString()}" for c in ids
+    )
+    out_schema = f"{id_fields}, lemma string"
+    narrowed = docs.select(*ids, text_col)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        forms = {k: list(v) for k, v in NORMAL_FORMS.items()}
+        for pdf in it:
+            if pdf.empty:
+                continue
+            s = pdf[text_col].fillna("")
+            s = s.str.replace(_CAMEL_1[0], r"\1 \2", regex=True)
+            s = s.str.replace(_CAMEL_2[0], r"\1 \2", regex=True)
+            s = s.str.lower().str.replace(_STRIP_PY, " ", regex=True)
+            tokens = s.str.split()
+            flat = tokens.explode().dropna()
+            keep = (flat.str.len() >= MIN_TOKEN_LEN) & ~flat.isin(STOP_WORDS)
+            flat = flat[keep]
+            base = pdf[ids].reindex(flat.index)
+            base = base.assign(lemma=flat.values)
+            # multi-lemma expansion: exception tokens -> list of forms, explode
+            has_exc = base["lemma"].isin(forms.keys())
+            if has_exc.any():
+                exc_rows = base[has_exc].copy()
+                exc_rows["lemma"] = exc_rows["lemma"].map(forms)
+                exc_rows = exc_rows.explode("lemma")
+                base = pd.concat([base[~has_exc], exc_rows], ignore_index=True)
+            yield base.reset_index(drop=True)
+
+    return narrowed.mapInPandas(_batches, schema=out_schema)
+
+
+def tokenize(docs: DataFrame, text_col: str = "content",
+             id_cols: str | list[str] = "doc_id", impl: str = "jvm") -> DataFrame:
+    """Dispatch: impl in {'jvm', 'arrow'}."""
+    if impl == "jvm":
+        return tokenize_jvm(docs, text_col, id_cols)
+    if impl == "arrow":
+        return tokenize_arrow(docs, text_col, id_cols)
+    raise ValueError(f"unknown analyzer impl: {impl!r}")

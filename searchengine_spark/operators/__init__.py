@@ -1,0 +1,1 @@
+"""Logical-plan operators of the engine (SURVEY.md §2 inventory)."""

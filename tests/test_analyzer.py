@@ -1,0 +1,79 @@
+"""Analyzer unit tests + three-way implementation agreement (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from searchengine_spark.analyzer import (
+    MIN_TOKEN_LEN,
+    analyze,
+    collect_lemmas,
+    tokenize_arrow,
+    tokenize_jvm,
+)
+
+
+def test_lowercase_and_strip():
+    assert analyze("Hello, WORLD!!! value") == ["hello", "world", "value"]
+
+
+def test_camel_and_snake_split():
+    # camelCase boundary split; snake_case splits on the punct class (_)
+    assert analyze("parseHtmlPage snake_case_name") == [
+        "parse", "html", "page", "snake", "case", "name"
+    ]
+    assert analyze("HTTPServerConfig") == ["http", "server", "config"]
+
+
+def test_digits_and_operators_stripped():
+    assert analyze("foo123bar x = y + 42; value(7)") == ["value"]
+    # foo123bar -> 'foo' 'bar' both len 3 -> dropped
+
+
+def test_short_and_stop_dropped():
+    assert analyze("the import class of big table") == ["table"]
+    assert "return" not in analyze("return tableValue")
+
+
+def test_multi_lemma_expansion():
+    assert analyze("норма") == ["норма", "нормаль"]
+    assert collect_lemmas("geese geese") == {"goose": 2, "geese": 2}
+
+
+def test_empty_and_punct_only():
+    assert analyze("") == []
+    assert analyze("!!! ;;; 123 @@@") == []
+
+
+def test_collect_lemmas_counts():
+    got = collect_lemmas("value value tableScan value")
+    assert got == {"value": 3, "table": 1, "scan": 1}
+
+
+def test_jvm_arrow_python_agree(spark, corpus_rows):
+    """The three executions of the pinned analyzer must agree exactly."""
+    from searchengine_spark.schema import DOCS_SCHEMA
+
+    sample = corpus_rows[:60]
+    df = spark.createDataFrame(sample, DOCS_SCHEMA).selectExpr(
+        "path as doc_key", "content"
+    )
+    jvm = Counter(
+        (r["doc_key"], r["lemma"])
+        for r in tokenize_jvm(df, id_cols="doc_key").collect()
+    )
+    arrow = Counter(
+        (r["doc_key"], r["lemma"])
+        for r in tokenize_arrow(df, id_cols="doc_key").collect()
+    )
+    pure = Counter()
+    for repo, path, commit, lang, content in sample:
+        for lemma in analyze(content):
+            pure[(path, lemma)] += 1
+    assert jvm == pure
+    assert arrow == pure
+
+
+def test_min_len_boundary():
+    assert analyze("abcd abc") == ["abcd"]
+    assert MIN_TOKEN_LEN == 4
