@@ -1,0 +1,68 @@
+"""Text-analysis column functions for training-data pipelines.
+
+Scale extensions over the ``documents`` table (no reference analog beyond
+the C1-C3 tokenize shape): token counting, quality scoring, stopword-based
+language ID, content fingerprinting.  Pure Catalyst expressions — these run
+inside whole-stage codegen at 100 TB with zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Pinned English stopword probe set for the lang-id heuristic (mirrored
+# verbatim in the DuckDB oracle SQL).
+EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+
+def tokens_col(text_col: Column) -> Column:
+    """Whitespace tokens, empties removed."""
+    return F.filter(F.split(text_col, r"\s+"), lambda t: t != "")
+
+
+def token_count(text_col: Column) -> Column:
+    return F.size(tokens_col(text_col)).cast("long")
+
+
+def chars_per_token(text_col: Column) -> Column:
+    return F.round(F.length(text_col).cast("double") / token_count(text_col), 4)
+
+
+def stopword_ratio(text_col: Column, stops: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    stop_arr = F.array(*[F.lit(s) for s in stops])
+    n_stop = F.size(F.filter(tokens_col(text_col), lambda t: F.array_contains(stop_arr, t)))
+    return F.round(n_stop.cast("double") / token_count(text_col), 4)
+
+
+def punct_ratio(text_col: Column) -> Column:
+    stripped = F.regexp_replace(text_col, r"[\p{Punct}]", "")
+    return F.round(
+        (F.length(text_col) - F.length(stripped)).cast("double")
+        / F.greatest(F.length(text_col), F.lit(1)),
+        4,
+    )
+
+
+def quality_score(text_col: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, low punct noise,
+    plausible word lengths.  Weights pinned (mirrored in the oracle SQL)."""
+    len_ok = F.least(F.length(text_col).cast("double") / 200.0, F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(text_col) * 5.0, F.lit(1.0))
+    cpt = F.length(text_col).cast("double") / token_count(text_col)
+    word_ok = F.when((cpt >= 3.0) & (cpt <= 12.0), 1.0).otherwise(0.5)
+    return F.round(0.4 * len_ok + 0.3 * punct_ok + 0.3 * word_ok, 4)
+
+
+def lang_id_en(text_col: Column, threshold: float = 0.04) -> Column:
+    """'en' if the English stopword ratio clears the threshold else 'other'
+    — the n-gram-free heuristic (real models plug in as pandas UDFs)."""
+    return F.when(stopword_ratio(text_col) >= threshold, F.lit("en")).otherwise(
+        F.lit("other")
+    )
+
+
+def fingerprint(text_col: Column) -> Column:
+    """Deterministic content fingerprint: md5 of lowercased
+    whitespace-normalized text (md5 matches across Spark and DuckDB)."""
+    return F.md5(F.regexp_replace(F.lower(text_col), r"\s+", " "))

@@ -1,0 +1,658 @@
+"""Driver correctness-gate queries: Spark DataFrame vs DuckDB oracle SQL.
+
+One entry per implemented operator family from SURVEY.md §2 (IDs cited per
+query), executed against the driver's parquet tables at ``sf_dir``
+(``documents`` / ``embeddings`` / TPC-H).  The documents table has clean
+single-space-separated text, so the gate uses plain whitespace tokenization
+(the full pinned analyzer — camelCase/punct/stop/normal-forms — is parity-
+tested against the pure-Python oracle in tests/; DuckDB can't rehost it 1:1).
+
+Every computed column is aliased identically in both engines, aggregates are
+cast (DuckDB sums are HUGEINT by default), and every ordered/limited query
+carries a full deterministic tie-break so the result SET is well-defined.
+Floating scores are rounded to 4 dp on both sides before ordering.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+
+from .functions.text import (
+    EN_STOPWORDS,
+    chars_per_token,
+    fingerprint,
+    lang_id_en,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    tokens_col,
+)
+from .operators.ann import brute_force_topk, lsh_topk
+from .operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+SEARCH_TERMS = ["spark", "table"]
+DF_THRESHOLD = 400  # documents at sf0.01 = 500 docs; both terms common but < 400
+DICT_TERMS = ["spark", "table", "merge", "kw_absent_zz"]
+SNIPPET_WORD = "spark"
+PROX_W1, PROX_W2 = "spark", "merge"
+PROX_MAX = 5  # + len(PROX_W1), the reference quirk (SearchServiceImpl.java:257-261)
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, token) one row per token occurrence."""
+    return docs.select(
+        "doc_id", "source", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+
+
+# SQL fragment: token stream of documents
+_TOK_SQL = (
+    "SELECT doc_id, source, unnest(string_split(text, ' ')) AS token "
+    "FROM documents"
+)
+
+
+# --- A1 / A2: tf and df ------------------------------------------------------
+
+
+def q_tf_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (LemmaFinderImpl.java:34-47): per-doc term frequency."""
+    return (
+        _tokens(_load(spark, sf_dir, "documents"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+SQL_TF_PER_DOC = f"""
+SELECT doc_id, token, count(*)::BIGINT AS tf
+FROM ({_TOK_SQL}) WHERE token <> '' GROUP BY doc_id, token
+"""
+
+
+def q_df_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (IndexingServiceImpl.java:162-189): per-'site' document frequency."""
+    return (
+        _tokens(_load(spark, sf_dir, "documents"))
+        .select("source", "doc_id", "token")
+        .distinct()
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("df"))
+    )
+
+
+SQL_DF_PER_SOURCE = f"""
+SELECT source, token, count(*)::BIGINT AS df
+FROM (SELECT DISTINCT source, doc_id, token FROM ({_TOK_SQL}) WHERE token <> '')
+GROUP BY source, token
+"""
+
+
+# --- J1 + F6: dictionary lookup with df threshold ---------------------------
+
+
+def q_dict_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+F6 (LemmaRepository.java:17; SearchServiceImpl.java:34): query
+    terms semi-joined against the global dictionary, stop-term df cutoff."""
+    tf = (
+        _tokens(_load(spark, sf_dir, "documents"))
+        .filter(F.col("token").isin(DICT_TERMS))
+        .select("doc_id", "token")
+        .distinct()
+    )
+    return (
+        tf.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") < DF_THRESHOLD)
+    )
+
+
+_terms_sql = ", ".join(f"'{t}'" for t in DICT_TERMS)
+SQL_DICT_LOOKUP = f"""
+SELECT token, count(*)::BIGINT AS df
+FROM (SELECT DISTINCT doc_id, token FROM ({_TOK_SQL}) WHERE token IN ({_terms_sql}))
+GROUP BY token HAVING count(*) < {DF_THRESHOLD}
+"""
+
+
+# --- J4a + A3 + A4 + C10 + O2/O3: the flagship conjunctive search -----------
+
+
+def _search_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, abs_score): docs containing ALL surviving query terms."""
+    docs = _load(spark, sf_dir, "documents")
+    tf = (
+        _tokens(docs)
+        .filter(F.col("token").isin(SEARCH_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    kept = (
+        tf.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") < DF_THRESHOLD)
+        .select("token")
+    )
+    n_kept = kept.agg(F.count("*").alias("_n"))
+    return (
+        tf.join(F.broadcast(kept), "token")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_nm"), F.sum("tf").alias("abs_score"))
+        .crossJoin(F.broadcast(n_kept))
+        .filter((F.col("_nm") == F.col("_n")) & (F.col("_n") > 0))
+        .select("doc_id", "abs_score")
+    )
+
+
+def q_search_sumtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: conjunctive AND (J4a) + Σtf score (A3) normalized by max
+    (A4) rounded 4 dp HALF_UP (C10), desc order with doc_id tie-break (O2),
+    top-20 (O3)."""
+    cand = _search_candidates(spark, sf_dir)
+    mx = cand.agg(F.max("abs_score").alias("_mx"))
+    return (
+        cand.crossJoin(F.broadcast(mx))
+        .select("doc_id", F.round(F.col("abs_score") / F.col("_mx"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+_search_terms_sql = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+_SQL_CAND = f"""
+WITH tf AS (
+  SELECT doc_id, token, count(*)::BIGINT AS tf
+  FROM ({_TOK_SQL}) WHERE token IN ({_search_terms_sql})
+  GROUP BY doc_id, token
+), kept AS (
+  SELECT token FROM (SELECT token, count(*) AS df FROM tf GROUP BY token)
+  WHERE df < {DF_THRESHOLD}
+), cand AS (
+  SELECT tf.doc_id, sum(tf.tf)::BIGINT AS abs_score
+  FROM tf JOIN kept USING (token)
+  GROUP BY tf.doc_id
+  HAVING count(*) = (SELECT count(*) FROM kept)
+)
+"""
+
+SQL_SEARCH_SUMTF = (
+    _SQL_CAND
+    + """
+SELECT doc_id,
+       round(abs_score::DOUBLE / (SELECT max(abs_score) FROM cand), 4) AS score
+FROM cand ORDER BY score DESC, doc_id LIMIT 20
+"""
+)
+
+
+def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25(k1=1.2, b=0.75) over the same conjunctive candidates; global df
+    scope, avgdl = Σdl/N over all docs.  All column math JVM-side."""
+    docs = _load(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    tf = (
+        toks.filter(F.col("token").isin(SEARCH_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    kept_df = (
+        tf.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") < DF_THRESHOLD)
+    )
+    n_kept = kept_df.agg(F.count("*").alias("_n"))
+    dls = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n_docs = docs.agg(F.count("*").alias("_nd"))
+    avgdl = dls.crossJoin(F.broadcast(n_docs)).agg(
+        (F.sum("dl") / F.first("_nd")).alias("_avgdl"), F.first("_nd").alias("_nd")
+    )
+    k1, b = 1.2, 0.75
+    idf = F.log(F.lit(1.0) + (F.col("_nd") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl")
+    )
+    term_score = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    return (
+        tf.join(F.broadcast(kept_df), "token")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .withColumn("_ts", term_score)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_nm"), F.sum("_ts").alias("_s"))
+        .crossJoin(F.broadcast(n_kept))
+        .filter((F.col("_nm") == F.col("_n")) & (F.col("_n") > 0))
+        .select("doc_id", F.round("_s", 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+SQL_SEARCH_BM25 = f"""
+WITH tok AS ({_TOK_SQL}),
+tf AS (
+  SELECT doc_id, token, count(*)::BIGINT AS tf
+  FROM tok WHERE token IN ({_search_terms_sql})
+  GROUP BY doc_id, token
+),
+kept AS (
+  SELECT token, df FROM (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token)
+  WHERE df < {DF_THRESHOLD}
+),
+dls AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok WHERE token <> '' GROUP BY doc_id),
+consts AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS nd,
+         (SELECT sum(dl) FROM dls)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+scored AS (
+  SELECT tf.doc_id,
+         count(*) AS nm,
+         sum(
+           ln(1.0 + (consts.nd - kept.df + 0.5) / (kept.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dls.dl / consts.avgdl))
+         ) AS s
+  FROM tf
+  JOIN kept USING (token)
+  JOIN dls ON dls.doc_id = tf.doc_id
+  CROSS JOIN consts
+  GROUP BY tf.doc_id
+  HAVING count(*) = (SELECT count(*) FROM kept)
+)
+SELECT doc_id, round(s, 4) AS bm25
+FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
+# --- F11: proximity predicate (SQL-expressible two-word form) ---------------
+
+
+def q_proximity_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 (SearchServiceImpl.java:245-264): both words present and the
+    sorted first-occurrence gap <= max_distance + len(words[0]) — the
+    reference's sorted-position/original-word-length pairing replicated."""
+    docs = _load(spark, sf_dir, "documents")
+    p1 = F.instr(F.col("text"), PROX_W1)
+    p2 = F.instr(F.col("text"), PROX_W2)
+    gap = F.greatest(p1, p2) - F.least(p1, p2)
+    return (
+        docs.select("doc_id", p1.alias("pos1"), p2.alias("pos2"))
+        .filter((F.col("pos1") > 0) & (F.col("pos2") > 0))
+        .filter(
+            (F.greatest("pos1", "pos2") - F.least("pos1", "pos2"))
+            <= PROX_MAX + len(PROX_W1)
+        )
+    )
+
+
+SQL_PROXIMITY_PAIR = f"""
+SELECT doc_id,
+       strpos(text, '{PROX_W1}')::INT AS pos1,
+       strpos(text, '{PROX_W2}')::INT AS pos2
+FROM documents
+WHERE strpos(text, '{PROX_W1}') > 0 AND strpos(text, '{PROX_W2}') > 0
+  AND greatest(strpos(text, '{PROX_W1}'), strpos(text, '{PROX_W2}'))
+      - least(strpos(text, '{PROX_W1}'), strpos(text, '{PROX_W2}'))
+      <= {PROX_MAX + len(PROX_W1)}
+"""
+
+
+# --- C8: snippet window + highlight -----------------------------------------
+
+
+def q_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 (SearchServiceImpl.java:190-215): ±100-char window around the
+    first match, '...' suffix, <b> highlight (single-term, SQL-expressible
+    1-based form; the multi-word regex form is pytest-verified)."""
+    docs = _load(spark, sf_dir, "documents")
+    pos = F.instr(F.col("text"), SNIPPET_WORD)  # 1-based, 0 = absent
+    start = F.greatest(pos - 100, F.lit(1))
+    end_excl = F.least(pos + 100, F.length("text") + 1)
+    snip = F.concat(F.expr(
+        f"substring(text, greatest(instr(text, '{SNIPPET_WORD}') - 100, 1), "
+        f"least(instr(text, '{SNIPPET_WORD}') + 100, length(text) + 1) "
+        f"- greatest(instr(text, '{SNIPPET_WORD}') - 100, 1))"
+    ), F.lit("..."))
+    return (
+        docs.filter(pos > 0)
+        .select(
+            "doc_id",
+            F.regexp_replace(snip, SNIPPET_WORD, f"<b>{SNIPPET_WORD}</b>").alias(
+                "snippet"
+            ),
+        )
+    )
+
+
+SQL_SNIPPET = f"""
+SELECT doc_id,
+       replace(
+         substr(text,
+                greatest(strpos(text, '{SNIPPET_WORD}') - 100, 1),
+                least(strpos(text, '{SNIPPET_WORD}') + 100, length(text) + 1)
+                - greatest(strpos(text, '{SNIPPET_WORD}') - 100, 1)) || '...',
+         '{SNIPPET_WORD}', '<b>{SNIPPET_WORD}</b>') AS snippet
+FROM documents WHERE strpos(text, '{SNIPPET_WORD}') > 0
+"""
+
+
+# --- A6-A8: statistics ------------------------------------------------------
+
+
+def q_stats_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6+A7 (StatisticsServiceImpl.java:39-40): pages and distinct lemmas
+    per 'site'."""
+    toks = _tokens(_load(spark, sf_dir, "documents"))
+    return toks.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("pages"),
+        F.countDistinct("token").alias("lemmas"),
+    )
+
+
+SQL_STATS_PER_SOURCE = f"""
+SELECT source,
+       count(DISTINCT doc_id)::BIGINT AS pages,
+       count(DISTINCT token)::BIGINT AS lemmas
+FROM ({_TOK_SQL}) WHERE token <> '' GROUP BY source
+"""
+
+
+def q_stats_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 (StatisticsServiceImpl.java:30-48): global totals."""
+    per = q_stats_per_source(spark, sf_dir)
+    return per.agg(
+        F.count("*").alias("sites"),
+        F.sum("pages").alias("pages"),
+        F.sum("lemmas").alias("lemmas"),
+    )
+
+
+SQL_STATS_TOTALS = f"""
+SELECT count(*)::BIGINT AS sites, sum(pages)::BIGINT AS pages, sum(lemmas)::BIGINT AS lemmas
+FROM (
+  SELECT source, count(DISTINCT doc_id) AS pages, count(DISTINCT token) AS lemmas
+  FROM ({_TOK_SQL}) WHERE token <> '' GROUP BY source
+)
+"""
+
+
+# --- O3 / S7 / F1-F7: pagination, point lookup, filters ---------------------
+
+
+def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 (SearchServiceImpl.java:67-73): deterministic offset/limit slice."""
+    return (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .offset(10)
+        .limit(10)
+    )
+
+
+SQL_PAGINATION = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id OFFSET 10 LIMIT 10
+"""
+
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 (PageRepository.findByPath analog): predicate-pushdown point scan."""
+    return (
+        _load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") == 42)
+        .select("doc_id", "source", "lang", "n_chars")
+    )
+
+
+SQL_POINT_LOOKUP = """
+SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id = 42
+"""
+
+
+def q_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 analog (IndexingServiceImpl.java:102-103): prefix filter + project."""
+    return (
+        _load(spark, sf_dir, "documents")
+        .filter(F.col("text").startswith("key"))
+        .select("doc_id", "source")
+    )
+
+
+SQL_PREFIX_FILTER = """
+SELECT doc_id, source FROM documents WHERE text LIKE 'key%'
+"""
+
+
+# --- dedup family -----------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy, keep min doc_id."""
+    return exact_dedup(_load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS fp, min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.2)."""
+    return ngram_jaccard_pairs(
+        _load(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.2
+    )
+
+
+SQL_DEDUP_JACCARD = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+  FROM d
+  WHERE len(w) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs verified by exact Jaccard (rows-only
+    check: Spark's xxhash64 has no DuckDB twin)."""
+    return minhash_lsh_pairs(
+        _load(spark, sf_dir, "documents"), "text", "doc_id",
+        n=3, num_hashes=64, bands=16, threshold=0.2,
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, hamming <= 3 (rows-only check)."""
+    return simhash_near_pairs(_load(spark, sf_dir, "documents"), "text", "doc_id", 3)
+
+
+# --- similarity search ------------------------------------------------------
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the vec_id=0 embedding."""
+    return brute_force_topk(
+        _load(spark, sf_dir, "embeddings"),
+        _query_vec(spark, sf_dir),
+        k=10,
+        exclude_id=0,
+    )
+
+
+SQL_ANN_COSINE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(
+         list_dot_product(embedding::DOUBLE[], q.qe)
+         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cos_sim
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate cosine top-10 (rows-only check)."""
+    return lsh_topk(
+        _load(spark, sf_dir, "embeddings"),
+        _query_vec(spark, sf_dir),
+        k=10,
+        n_planes=6,
+        exclude_id=0,
+    )
+
+
+# --- text analysis ----------------------------------------------------------
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        chars_per_token(F.col("text")).alias("chars_per_token"),
+        stopword_ratio(F.col("text")).alias("stop_ratio"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+_stops_sql = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+SQL_TEXT_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS nt,
+         length(text) AS nc,
+         len(list_filter(string_split(text, ' '), t -> t IN ({_stops_sql}))) AS ns,
+         length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS np
+  FROM documents
+)
+SELECT doc_id,
+       nt::BIGINT AS n_tokens,
+       round(nc::DOUBLE / nt, 4) AS chars_per_token,
+       round(ns::DOUBLE / nt, 4) AS stop_ratio,
+       round(0.4 * least(nc::DOUBLE / 200.0, 1.0)
+             + 0.3 * (1.0 - least(round(np::DOUBLE / greatest(nc, 1), 4) * 5.0, 1.0))
+             + 0.3 * (CASE WHEN nc::DOUBLE / nt BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END),
+             4) AS quality
+FROM base
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id_en(F.col("text")).alias("pred_lang"))
+
+
+SQL_LANG_ID = f"""
+SELECT doc_id,
+       CASE WHEN round(
+         len(list_filter(string_split(text, ' '), t -> t IN ({_stops_sql})))::DOUBLE
+         / len(list_filter(string_split(text, ' '), t -> t <> '')), 4) >= 0.04
+       THEN 'en' ELSE 'other' END AS pred_lang
+FROM documents
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+       md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+       len(list_filter(string_split(text, ' '), t -> t <> ''))::BIGINT AS n_tokens
+FROM documents
+"""
+
+
+# --- registry ---------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tf_per_doc": q_tf_per_doc,
+    "df_per_source": q_df_per_source,
+    "dict_lookup": q_dict_lookup,
+    "search_sumtf": q_search_sumtf,
+    "search_bm25": q_search_bm25,
+    "proximity_pair": q_proximity_pair,
+    "snippet": q_snippet,
+    "stats_per_source": q_stats_per_source,
+    "stats_totals": q_stats_totals,
+    "pagination": q_pagination,
+    "point_lookup": q_point_lookup,
+    "prefix_filter": q_prefix_filter,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_cosine_topk": q_ann_cosine,
+    "ann_lsh_topk": q_ann_lsh,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+}
+
+ORACLE: dict[str, str] = {
+    "tf_per_doc": SQL_TF_PER_DOC,
+    "df_per_source": SQL_DF_PER_SOURCE,
+    "dict_lookup": SQL_DICT_LOOKUP,
+    "search_sumtf": SQL_SEARCH_SUMTF,
+    "search_bm25": SQL_SEARCH_BM25,
+    "proximity_pair": SQL_PROXIMITY_PAIR,
+    "snippet": SQL_SNIPPET,
+    "stats_per_source": SQL_STATS_PER_SOURCE,
+    "stats_totals": SQL_STATS_TOTALS,
+    "pagination": SQL_PAGINATION,
+    "point_lookup": SQL_POINT_LOOKUP,
+    "prefix_filter": SQL_PREFIX_FILTER,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "ann_cosine_topk": SQL_ANN_COSINE,
+    "text_quality": SQL_TEXT_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "fingerprint": SQL_FINGERPRINT,
+    # rows-only (hash functions have no DuckDB twin):
+    #   dedup_minhash_lsh, dedup_simhash, ann_lsh_topk
+}

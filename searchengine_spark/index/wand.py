@@ -1,0 +1,228 @@
+"""Top-k query over the physical index: MaxScore/block-max pruning + BM25.
+
+SURVEY.md §4 item 2.  The reference's retrieval is a rarest-first
+intersection loop (SearchServiceImpl.java:122-143); at scale this becomes:
+
+- the index is read partition-pruned (bucket= dirs of the query terms only);
+- each doc-range SEGMENT computes its local top-k independently inside one
+  ``applyInPandas`` group (numpy, Arrow-batched — no per-row Python);
+- segment winners merge via a global TakeOrderedAndProject.
+
+Within a segment two exact algorithms (self-oracle-tested against each
+other, SURVEY.md §5.4):
+
+- ``exhaustive``: decode all postings of all query terms, accumulate
+  idf·(k1+1)·weight per doc (np.add.at), top-k.
+- ``maxscore``: safe dynamic pruning.  Pass 1 scores the rarest term's
+  postings exactly (lookups into other terms decode ONLY blocks overlapping
+  the candidate ids — the block directory's first/last_doc bounds drive the
+  skip, this is where block-max earns its keep).  With the pass-1 threshold
+  θ, terms whose upper bounds (idf·(k1+1)·max block weight) sum below θ are
+  non-essential: docs appearing only in them provably cannot enter the
+  top-k, so candidate generation decodes essential terms only.  Exact: every
+  returned (id, score) pair equals the exhaustive path bit-for-bit.
+
+Conjunctive mode replicates the reference's AND semantics (docs must carry
+every term) with the same block-skipping lookups, rarest term driving.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import TYPE_CHECKING
+
+import numpy as np
+
+from ..analyzer import analyze
+from .codec import decode_block
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+
+class TermPostings:
+    """Decoded-on-demand view over one term's compressed postings."""
+
+    __slots__ = ("docs_b", "tfs_b", "dls_b", "first", "last", "n", "doc_off",
+                 "tf_off", "dl_off", "max_w", "df", "_cache")
+
+    def __init__(self, postings: bytes, tfs: bytes, dls: bytes, blocks, df: int):
+        self.docs_b = np.frombuffer(postings, dtype=np.uint8)
+        self.tfs_b = np.frombuffer(tfs, dtype=np.uint8)
+        self.dls_b = np.frombuffer(dls, dtype=np.uint8)
+        bl = list(blocks)
+        get = (lambda b, k, i: b[k]) if bl and isinstance(bl[0], dict) else (lambda b, k, i: b[i])
+        self.first = np.array([get(b, "first_doc", 0) for b in bl], dtype=np.int64)
+        self.last = np.array([get(b, "last_doc", 1) for b in bl], dtype=np.int64)
+        self.n = np.array([get(b, "n", 2) for b in bl], dtype=np.int64)
+        self.doc_off = np.array([get(b, "doc_off", 3) for b in bl], dtype=np.int64)
+        self.tf_off = np.array([get(b, "tf_off", 4) for b in bl], dtype=np.int64)
+        self.dl_off = np.array([get(b, "dl_off", 5) for b in bl], dtype=np.int64)
+        self.max_w = np.array([get(b, "max_weight", 6) for b in bl], dtype=np.float64)
+        self.df = df
+        self._cache: dict[int, tuple] = {}
+
+    def _enc(self):
+        blocks = list(zip(self.first, self.last, self.n, self.doc_off,
+                          self.tf_off, self.dl_off))
+        return (self.docs_b, self.tfs_b, self.dls_b, blocks)
+
+    def block(self, i: int):
+        if i not in self._cache:
+            self._cache[i] = decode_block(self._enc(), i)
+        return self._cache[i]
+
+    def decode_all(self):
+        parts = [self.block(i) for i in range(self.first.size)]
+        if not parts:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, z
+        return tuple(np.concatenate([p[j] for p in parts]) for j in range(3))
+
+    def lookup(self, ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(tf, dl) aligned to sorted ``ids`` (0 where absent); decodes only
+        blocks whose [first_doc, last_doc] range intersects ``ids``."""
+        tf_out = np.zeros(ids.size, dtype=np.int64)
+        dl_out = np.zeros(ids.size, dtype=np.int64)
+        if ids.size == 0 or self.first.size == 0:
+            return tf_out, dl_out
+        # candidate block index for each id: rightmost block with first<=id
+        bi = np.searchsorted(self.first, ids, side="right") - 1
+        ok = (bi >= 0) & (ids <= self.last[np.clip(bi, 0, None)])
+        for blk in np.unique(bi[ok]):
+            b_ids, b_tfs, b_dls = self.block(int(blk))
+            sel = ok & (bi == blk)
+            pos = np.searchsorted(b_ids, ids[sel])
+            pos = np.clip(pos, 0, b_ids.size - 1)
+            hit = b_ids[pos] == ids[sel]
+            rows = np.flatnonzero(sel)[hit]
+            tf_out[rows] = b_tfs[pos[hit]]
+            dl_out[rows] = b_dls[pos[hit]]
+        return tf_out, dl_out
+
+
+def _idf(n_docs: int, df: int) -> float:
+    return float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+
+
+def _score_ids(ids: np.ndarray, terms: list[TermPostings], idfs: list[float],
+               k1: float, b: float, avgdl: float) -> np.ndarray:
+    """Exact BM25 scores for sorted candidate ids (block-skipping lookups)."""
+    scores = np.zeros(ids.size, dtype=np.float64)
+    for t, idf in zip(terms, idfs):
+        tf, dl = t.lookup(ids)
+        nz = tf > 0
+        w = np.zeros(ids.size)
+        tff = tf[nz].astype(np.float64)
+        w[nz] = tff / (tff + k1 * ((1.0 - b) + b * dl[nz] / avgdl))
+        scores += idf * (k1 + 1.0) * w
+    return scores
+
+
+def _topk(ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """top-k by (score desc, doc_id asc) — deterministic."""
+    if ids.size == 0:
+        return ids, scores
+    order = np.lexsort((ids, -scores))[: k]
+    return ids[order], scores[order]
+
+
+def segment_topk(term_rows: list[dict], n_docs: int, avgdl: float, k: int,
+                 k1: float = 1.2, b: float = 0.75, mode: str = "maxscore",
+                 conjunctive: bool = False) -> tuple[np.ndarray, np.ndarray]:
+    """Local top-k for one segment.  ``term_rows``: dicts with df (global!),
+    postings/tfs/dls/blocks for each query term present in the segment."""
+    terms = [TermPostings(r["postings"], r["tfs"], r["dls"], r["blocks"], r["df"])
+             for r in term_rows]
+    idfs = [_idf(n_docs, t.df) for t in terms]
+    if not terms:
+        z = np.zeros(0, dtype=np.int64)
+        return z, np.zeros(0)
+
+    order = np.argsort([t.df for t in terms], kind="stable")  # rarest first (O1)
+    terms = [terms[i] for i in order]
+    idfs = [idfs[i] for i in order]
+
+    if conjunctive:
+        ids = terms[0].decode_all()[0]
+        for t in terms[1:]:
+            if ids.size == 0:
+                break  # early exit (SearchServiceImpl.java:136-138)
+            tf, _ = t.lookup(ids)
+            ids = ids[tf > 0]
+        return _topk(ids, _score_ids(ids, terms, idfs, k1, b, avgdl), k)
+
+    if mode == "exhaustive" or len(terms) == 1:
+        all_ids = np.unique(np.concatenate([t.decode_all()[0] for t in terms]))
+        return _topk(all_ids, _score_ids(all_ids, terms, idfs, k1, b, avgdl), k)
+
+    # ---- MaxScore ----------------------------------------------------------
+    ubs = np.array([idf * (k1 + 1.0) * (t.max_w.max() if t.max_w.size else 0.0)
+                    for t, idf in zip(terms, idfs)])
+    # pass 1: rarest term's postings scored exactly
+    c1 = terms[0].decode_all()[0]
+    s1 = _score_ids(c1, terms, idfs, k1, b, avgdl)
+    if c1.size >= k:
+        theta = np.partition(s1, -k)[-k]
+    else:
+        theta = -np.inf
+    # essential terms: take by UB desc until the EXCLUDED UB sum < theta;
+    # any doc outside the essential union then scores <= excluded_sum < theta
+    # <= final kth score (pass-1 candidates are re-scored below), so pruning
+    # is provably safe.  theta=-inf (fewer than k pass-1 docs) => no pruning.
+    ub_order = np.argsort(-ubs, kind="stable")
+    essential: set[int] = set()
+    excluded = float(ubs.sum())
+    for i in ub_order:
+        if excluded < theta:
+            break  # all remaining (smaller-UB) terms are non-essential
+        essential.add(int(i))
+        excluded -= float(ubs[i])
+    essential.add(0)  # rarest term always drives (its docs seed theta)
+    cand = np.unique(np.concatenate(
+        [terms[i].decode_all()[0] for i in sorted(essential)]
+    ))
+    return _topk(cand, _score_ids(cand, terms, idfs, k1, b, avgdl), k)
+
+
+def bm25_topk(spark: SparkSession, index_dir: str, query: str, k: int = 10,
+              mode: str = "maxscore", conjunctive: bool = False) -> DataFrame:
+    """Distributed top-k: partition-pruned index read -> per-segment numpy
+    top-k (applyInPandas) -> global ordered merge."""
+    from pyspark.sql import functions as F
+
+    from .builder import read_index
+
+    with open(f"{index_dir}/meta.json") as fh:
+        meta = json.load(fh)
+    qlemmas = sorted(set(analyze(query)))
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not qlemmas:
+        return empty
+
+    idx = read_index(spark, index_dir, qlemmas)
+    # global df per lemma (sum over segments) — tiny collect, broadcast via closure
+    gdf = {r["lemma"]: r["gdf"] for r in
+           idx.groupBy("lemma").agg(F.sum("df").alias("gdf")).collect()}
+    if not gdf:
+        return empty
+    n_docs, avgdl, k1, b = meta["n_docs"], meta["avgdl"], meta["k1"], meta["b"]
+    n_terms = len(gdf)
+
+    def _seg(pdf):
+        import pandas as pd
+
+        if conjunctive and pdf["lemma"].nunique() < n_terms:
+            return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": "int64", "score": "float64"}
+            )
+        rows = [
+            {"df": int(gdf[r.lemma]), "postings": r.postings, "tfs": r.tfs,
+             "dls": r.dls, "blocks": r.blocks}
+            for r in pdf.itertuples()
+        ]
+        ids, scores = segment_topk(rows, n_docs, avgdl, k, k1, b, mode, conjunctive)
+        return pd.DataFrame({"doc_id": ids, "score": scores})
+
+    local = idx.groupBy("segment").applyInPandas(_seg, schema="doc_id long, score double")
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -1,0 +1,96 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Scale extension (no reference analog): brute-force cosine top-k as the
+correctness baseline, and a random-hyperplane LSH bucketed variant as the
+scale path (candidates meet in sign-pattern buckets; only bucket-mates are
+scored).  The hyperplanes are generated from a fixed seed on the driver and
+shipped as literals — deterministic across runs and cluster sizes.
+
+All vector math is JVM-side (``zip_with`` + ``aggregate`` column
+expressions) — no Python in the hot path.  A Pandas-UDF/numpy batch variant
+would win for very wide vectors; at 64-1024 dims the codegen path avoids the
+Arrow round-trip.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    from pyspark.sql import Column, DataFrame
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def brute_force_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     exclude_id: int | None = None) -> DataFrame:
+    """Exact cosine top-k against a literal query vector.
+
+    One narrow scan + TakeOrderedAndProject; the similarity is rounded to
+    4 dp BEFORE ordering (with id tie-break) so the top-k frontier is
+    deterministic across summation orders."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = emb.select(
+        id_col,
+        F.round(cosine(_as_double(F.col(vec_col)), q), 4).alias("cos_sim"),
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (driver-side, shipped as literals)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket_col(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit i = (v · plane_i) > 0."""
+    bits = [
+        F.when(dot(_as_double(vec_col), F.array(*[F.lit(float(x)) for x in p])) > 0,
+               F.lit(1 << i)).otherwise(F.lit(0))
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_planes: int = 8, seed: int = 42,
+             exclude_id: int | None = None) -> DataFrame:
+    """LSH-bucketed approximate top-k: score only vectors whose sign pattern
+    matches the query's bucket.  With B buckets this scans ~N/B candidates;
+    at scale the table is written bucketBy(bucket) so the probe is a
+    partition-pruned scan, and multi-probe (flipping low-margin bits) trades
+    recall for cost."""
+    import numpy as np
+
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    qarr = np.array(query_vec, dtype="float64")
+    qbucket = 0
+    for i, p in enumerate(planes):
+        if float(np.dot(qarr, np.array(p))) > 0:
+            qbucket |= 1 << i
+    bucketed = emb.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), planes))
+    cand = bucketed.filter(F.col("_bucket") == qbucket)
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col, exclude_id)

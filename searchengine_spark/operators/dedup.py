@@ -28,13 +28,20 @@ if TYPE_CHECKING:
 
 
 def _shingle_col(text_col: str, n: int):
-    """array<string> of distinct word n-grams, JVM-side."""
-    w = F.split(F.col(text_col), r"\s+")
+    """array<string> of distinct word n-grams, JVM-side.
+
+    Guarded: ``sequence(0, size-n)`` would DESCEND for docs shorter than n
+    tokens (Spark sequence semantics), so short docs map to array() instead.
+    Splits on a single space to mirror the oracle's ``string_split``.
+    """
+    arr = f"split({text_col}, ' ')"
     grams = F.expr(
-        f"transform(sequence(0, greatest(size(split({text_col}, '\\\\s+')) - {n}, -1)), "
-        f"i -> concat_ws(' ', slice(split({text_col}, '\\\\s+'), i + 1, {n})))"
+        f"CASE WHEN size({arr}) >= {n} THEN "
+        f"transform(sequence(0, size({arr}) - {n}), "
+        f"i -> concat_ws(' ', slice({arr}, i + 1, {n}))) "
+        f"ELSE array() END"
     )
-    return F.array_distinct(grams), w
+    return F.array_distinct(grams)
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -49,7 +56,7 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              n: int = 3) -> DataFrame:
     """(id, shingle) distinct word n-grams per doc (empty for short docs)."""
-    grams, _ = _shingle_col(text_col, n)
+    grams = _shingle_col(text_col, n)
     return (
         docs.select(id_col, F.explode(grams).alias("shingle"))
         .filter(F.col("shingle") != "")
@@ -101,7 +108,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     xxhash64(shingle, seed=i).  Deterministic, JVM-side, no UDFs: the per-doc
     min-hash is computed by ``transform`` over seeds + ``array_min`` over
     shingle hashes — zero shuffles beyond the input scan."""
-    grams, _ = _shingle_col(text_col, n)
+    grams = _shingle_col(text_col, n)
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     sig = F.transform(
         seeds,
@@ -174,20 +181,13 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     the sum > 0.  Expressed with transform/aggregate/filter built-ins —
     whole-stage codegen, no shuffle (narrow map)."""
     toks = F.expr(f"filter(split({text_col}, '\\\\s+'), t -> t <> '')")
-    bits = F.sequence(F.lit(0), F.lit(63))
-    vote = F.transform(
-        bits,
-        lambda i: F.aggregate(
-            F.col("_t"),
-            F.lit(0),
-            lambda acc, t: acc
-            + F.when(F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        ),
-    )
-    packed = F.aggregate(
-        F.zip_with(vote, bits, lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
+    # SQL-expr form: the Python shiftright/shiftleft wrappers require literal
+    # shift amounts, but the SQL builtins take expressions (the lambda var).
+    packed = F.expr(
+        "aggregate(sequence(0, 63), cast(0 as bigint), (acc, i) -> acc | IF("
+        "  aggregate(_t, 0, (a, t) ->"
+        "    a + IF((shiftright(xxhash64(t), i) & 1) = 1, 1, -1)) > 0,"
+        "  shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"
     )
     return docs.select(id_col, toks.alias("_t")).filter(F.size("_t") > 0).select(
         id_col, packed.alias("simhash")
@@ -204,19 +204,13 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
     bit_count.  Avoids the all-pairs cross join at scale.
     """
     sh = simhash64(docs, text_col, id_col)
-    blocks = F.sequence(F.lit(0), F.lit(3))
     exploded = sh.select(
         id_col,
         "simhash",
         F.explode(
-            F.transform(
-                blocks,
-                lambda i: F.struct(
-                    i.alias("blk"),
-                    F.shiftright(F.col("simhash"), i * 16)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    .alias("val"),
-                ),
+            F.expr(
+                "transform(sequence(0, 3), i -> "
+                "struct(i AS blk, shiftright(simhash, i * 16) & 65535 AS val))"
             )
         ).alias("b"),
     ).select(id_col, "simhash", "b.blk", "b.val")

@@ -1,0 +1,65 @@
+"""Driver-gate replica: every oracle-backed query must match DuckDB at
+sf0.01 (row count, columns, order-insensitive values), and the entry
+contract must hold.  Mirrors what the driver records in CORRECTNESS_r{N}."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.gate_check import compare, duck_conn
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duck_conn(SF_DIR)
+
+
+def _names():
+    from searchengine_spark.gate import QUERIES
+
+    return list(QUERIES)
+
+
+@pytest.mark.parametrize("name", _names())
+def test_gate_query_matches_oracle(spark, con, name):
+    ok, msg = compare(name, spark, con, SF_DIR)
+    assert ok, msg
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0 and df.columns == ["doc_id", "score"]
+    q = e.queries()
+    o = e.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 20
+
+
+def test_minhash_lsh_no_false_positives_and_recall(spark):
+    """LSH candidates verified by exact Jaccard ⊆ exact pairs; at this scale
+    the band settings should recall most true pairs."""
+    from searchengine_spark.gate import q_dedup_jaccard, q_dedup_minhash
+
+    exact = {(r["doc_a"], r["doc_b"]) for r in q_dedup_jaccard(spark, SF_DIR).collect()}
+    lsh = {(r["doc_a"], r["doc_b"]) for r in q_dedup_minhash(spark, SF_DIR).collect()}
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) >= 0.8
+
+
+def test_ann_lsh_subset_of_bruteforce_universe(spark):
+    """LSH top-k similarities must be <= the brute-force top-1 and all ids
+    must exist; recall is config-dependent so only sanity is asserted."""
+    from searchengine_spark.gate import q_ann_cosine, q_ann_lsh
+
+    bf = q_ann_cosine(spark, SF_DIR).collect()
+    lsh = q_ann_lsh(spark, SF_DIR).collect()
+    assert bf
+    top = bf[0]["cos_sim"]
+    for r in lsh:
+        assert r["cos_sim"] <= top + 1e-9

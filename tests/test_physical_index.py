@@ -1,0 +1,190 @@
+"""Physical index: build, MaxScore/WAND self-oracle, resume (SURVEY.md §5.4-5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from searchengine_spark.index.builder import build_index, read_index
+from searchengine_spark.index.wand import bm25_topk, segment_topk
+
+
+@pytest.fixture(scope="module")
+def index_dir(tmp_path_factory, docs):
+    out = str(tmp_path_factory.mktemp("idx"))
+    build_index(docs, out, n_segments=3, salt=4, n_buckets=8, block_size=32)
+    return out
+
+
+def test_build_writes_manifests_and_meta(index_dir, docs):
+    import json
+
+    from searchengine_spark.index.checkpoint import all_manifests
+
+    with open(f"{index_dir}/meta.json") as fh:
+        meta = json.load(fh)
+    assert meta["n_docs"] == docs.count()
+    ms = all_manifests(index_dir)
+    assert len(ms) == 3 and all(m["status"] == "done" for m in ms)
+    assert sum(m["doc_count"] for m in ms) == meta["n_docs"]
+
+
+def test_index_df_matches_logical(spark, index_dir, logical_index):
+    """Σ df over segments per lemma == logical postings count (global)."""
+    from pyspark.sql import functions as F
+
+    tf, _ = logical_index
+    idx = read_index(spark, index_dir)
+    got = {r["lemma"]: r["s"] for r in
+           idx.groupBy("lemma").agg(F.sum("df").alias("s")).collect()}
+    want = {r["lemma"]: r["n"] for r in
+            tf.groupBy("lemma").agg(F.count("*").alias("n")).collect()}
+    assert got == want
+
+
+def test_postings_roundtrip_vs_tf(spark, index_dir, logical_index, oracle):
+    """Decoded postings of a hot and a rare term == the tf table."""
+    from searchengine_spark.index.wand import TermPostings
+
+    tf, _ = logical_index
+    for lemma in ["veltadrolix", "xyzzy"]:
+        rows = read_index(spark, index_dir, [lemma]).collect()
+        got = {}
+        for r in rows:
+            tp = TermPostings(r["postings"], r["tfs"], r["dls"],
+                              [b.asDict() for b in r["blocks"]], r["df"])
+            ids, tfs, _ = tp.decode_all()
+            got.update(dict(zip(ids.tolist(), tfs.tolist())))
+        want = {d: c[lemma] for d, c in oracle.tf.items() if lemma in c}
+        assert got == want
+
+
+@pytest.mark.parametrize("query,k", [
+    ("tamok", 10),
+    ("tamok velsor", 1),
+    ("tamok velsor", 10),
+    ("tamok velsor", 100),
+    ("tamok velsor binqua sorbin kw_rare_xyzzy", 10),
+    ("veltadrolix sorvel", 10),     # two hottest terms
+    ("kw_rare_xyzzy", 10),
+    ("норма tamok", 10),
+])
+def test_maxscore_equals_exhaustive(spark, index_dir, query, k):
+    """SURVEY.md §5.4: WAND/MaxScore must return exactly the exhaustive
+    top-k (ids AND scores)."""
+    ex = bm25_topk(spark, index_dir, query, k, mode="exhaustive").collect()
+    ms = bm25_topk(spark, index_dir, query, k, mode="maxscore").collect()
+    assert [(r["doc_id"], r["score"]) for r in ex] == [
+        (r["doc_id"], r["score"]) for r in ms
+    ]
+
+
+def test_no_hit_and_stop_only(spark, index_dir):
+    assert bm25_topk(spark, index_dir, "zz_nope_zz", 10).count() == 0
+    assert bm25_topk(spark, index_dir, "the and for", 10).count() == 0
+
+
+def test_conjunctive_matches_strict_and_oracle(spark, index_dir, oracle):
+    """Physical conjunctive top-k == strict global AND (every doc carries
+    every query term) ranked by BM25.  NOTE: deliberately different from
+    operators.search(), which implements the reference's PER-REPO lemma
+    filtering (filterLemmasForSite, SearchServiceImpl.java:145-149) — a repo
+    lacking one term only requires the others there."""
+    import math
+
+    q = ["tamok", "velsor"]
+    n = len(oracle.docs)
+    dls = {d: sum(c.values()) for d, c in oracle.tf.items()}
+    avgdl = sum(dls.values()) / n
+    gdf = {t: sum(1 for c in oracle.tf.values() if t in c) for t in q}
+    want = {}
+    for d, c in oracle.tf.items():
+        if not all(t in c for t in q):
+            continue
+        s = 0.0
+        for t in q:
+            idf = math.log(1.0 + (n - gdf[t] + 0.5) / (gdf[t] + 0.5))
+            s += idf * c[t] * 2.2 / (c[t] + 1.2 * (0.25 + 0.75 * dls[d] / avgdl))
+        want[d] = s
+    want_top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    phys = bm25_topk(spark, index_dir, "tamok velsor", k=50, conjunctive=True).collect()
+    assert [r["doc_id"] for r in phys] == [d for d, _ in want_top]
+    for r, (_, s) in zip(phys, want_top):
+        assert r["score"] == pytest.approx(s, rel=1e-9)
+
+
+def test_exhaustive_matches_numpy_reference(spark, index_dir, oracle):
+    """Segment math cross-check: full-index disjunctive scores vs a direct
+    numpy BM25 over the oracle's tf table."""
+    import math
+
+    q = ["tamok", "velsor"]
+    n = len(oracle.docs)
+    dls = {d: sum(c.values()) for d, c in oracle.tf.items()}
+    avgdl = sum(dls.values()) / n
+    gdf = {t: sum(1 for c in oracle.tf.values() if t in c) for t in q}
+    want = {}
+    for d, c in oracle.tf.items():
+        s = 0.0
+        for t in q:
+            tfv = c.get(t, 0)
+            if not tfv:
+                continue
+            idf = math.log(1.0 + (n - gdf[t] + 0.5) / (gdf[t] + 0.5))
+            s += idf * tfv * 2.2 / (tfv + 1.2 * (0.25 + 0.75 * dls[d] / avgdl))
+        if s > 0:
+            want[d] = s
+    got = bm25_topk(spark, index_dir, "tamok velsor", k=10, mode="exhaustive").collect()
+    want_top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [r["doc_id"] for r in got] == [d for d, _ in want_top]
+    for r, (_, s) in zip(got, want_top):
+        assert r["score"] == pytest.approx(s, rel=1e-9)
+
+
+def test_resume_skips_done_segments_and_is_identical(spark, docs, tmp_path):
+    """Kill-after-partial + resume => byte-identical index (SURVEY.md §5.5)."""
+    import pathlib
+
+    out1 = str(tmp_path / "full")
+    build_index(docs, out1, n_segments=3, salt=4, n_buckets=4, block_size=32)
+
+    out2 = str(tmp_path / "resumed")
+    build_index(docs, out2, n_segments=3, salt=4, n_buckets=4, block_size=32)
+    # simulate a crash: wipe segment 1's data + manifest, then resume
+    import shutil
+
+    shutil.rmtree(f"{out2}/data/segment=1")
+    pathlib.Path(f"{out2}/manifests/segment=1.json").unlink()
+    build_index(docs, out2, n_segments=3, salt=4, n_buckets=4, block_size=32, resume=True)
+
+    a = read_index(spark, out1).orderBy("segment", "lemma").collect()
+    b = read_index(spark, out2).orderBy("segment", "lemma").collect()
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert (ra["segment"], ra["lemma"], ra["df"]) == (rb["segment"], rb["lemma"], rb["df"])
+        assert bytes(ra["postings"]) == bytes(rb["postings"])
+        assert bytes(ra["tfs"]) == bytes(rb["tfs"])
+        assert bytes(ra["dls"]) == bytes(rb["dls"])
+
+
+def test_segment_topk_unit():
+    """Pure-numpy unit: two tiny terms, hand-checkable."""
+    from searchengine_spark.index.codec import encode_postings
+
+    avgdl = 10.0
+    e1 = encode_postings(np.array([1, 5, 9]), np.array([2, 1, 4]),
+                         np.array([10, 10, 10]), avgdl)
+    e2 = encode_postings(np.array([5, 9, 20]), np.array([1, 1, 1]),
+                         np.array([10, 10, 10]), avgdl)
+    rows = [
+        {"df": 3, "postings": e1.docs, "tfs": e1.tfs, "dls": e1.dls,
+         "blocks": [tuple(b) for b in e1.blocks]},
+        {"df": 3, "postings": e2.docs, "tfs": e2.tfs, "dls": e2.dls,
+         "blocks": [tuple(b) for b in e2.blocks]},
+    ]
+    ids_e, sc_e = segment_topk(rows, n_docs=30, avgdl=avgdl, k=2, mode="exhaustive")
+    ids_m, sc_m = segment_topk(rows, n_docs=30, avgdl=avgdl, k=2, mode="maxscore")
+    assert ids_e.tolist() == ids_m.tolist()
+    assert sc_e.tolist() == sc_m.tolist()
+    # doc 9 (tf 4 + both terms) must beat doc 5 (1+1) and doc 1 (2)
+    assert ids_e[0] == 9
