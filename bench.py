@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver-run per round; see BASELINE.md).
+
+Measures, on ``local[$SPARK_GRAFT_CPUS]`` against ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1):
+
+1. headline gate queries over the driver's ``documents``/``embeddings``
+   parquet (per-query wall seconds),
+2. index-build throughput (files/sec) on the deterministic synthetic
+   source-code corpus (BENCH_DOCS docs, seed 42) — the BASELINE.json
+   headline metric,
+3. BM25 top-10 latency (p50/p95 over BENCH_QUERIES warm queries) on the
+   physical index just built.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "index_build": {...}, "bm25_latency_ms": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "20000"))
+BENCH_QUERY_SET = [
+    "tamok", "velsor", "tamok velsor", "sorvel lixpex", "renta drosorqua",
+    "tamok velsor binqua", "veltadrolix", "kw_rare_xyzzy", "норма tamok",
+    "rudmoksilkip sorvel tamok",
+]
+HEADLINE = [
+    "search_sumtf", "search_bm25", "tf_per_doc", "df_per_source",
+    "dedup_exact", "dedup_minhash_lsh", "ann_cosine_topk", "text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    from searchengine_spark.corpus import corpus_df, ingest
+    from searchengine_spark.gate import QUERIES
+    from searchengine_spark.index.builder import build_index
+    from searchengine_spark.index.wand import bm25_topk
+    from searchengine_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    t_all = time.perf_counter()
+
+    # 1 — headline gate queries on the driver's parquet tables
+    q_times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).collect()
+        q_times[name] = round(time.perf_counter() - t0, 3)
+
+    # 2 — index build throughput on the synthetic source-code corpus
+    out = tempfile.mkdtemp(prefix="bench_idx_")
+    try:
+        t0 = time.perf_counter()
+        docs = ingest(corpus_df(spark, BENCH_DOCS, partitions=cpus * 2)).cache()
+        n = docs.count()
+        build_index(docs, out, n_segments=4, salt=8, n_buckets=16,
+                    block_size=128, resume=False)
+        build_s = time.perf_counter() - t0
+        files_per_sec = n / build_s
+        q_times["index_build"] = round(build_s, 3)
+
+        # 3 — BM25 top-10 latency on the physical index (warm session +
+        # cached index, the serving configuration)
+        from searchengine_spark.index.builder import read_index
+
+        idx = read_index(spark, out).cache()
+        idx.count()
+        bm25_topk(spark, out, "tamok", 10, index_df=idx).collect()  # warmup
+        lat: list[float] = []
+        for q in BENCH_QUERY_SET:
+            t0 = time.perf_counter()
+            bm25_topk(spark, out, q, 10, mode="maxscore", index_df=idx).collect()
+            lat.append(time.perf_counter() - t0)
+        lat.sort()
+        p50 = lat[len(lat) // 2] * 1000
+        p95 = lat[min(len(lat) - 1, int(len(lat) * 0.95))] * 1000
+        q_times["bm25_top10_suite"] = round(sum(lat), 3)
+        docs.unpersist()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+    total = time.perf_counter() - t_all
+    print(json.dumps({
+        "metric": "index-build files/sec + BM25 top-10 p95 latency",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": q_times,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "index_build": {
+            "n_docs": n,
+            "seconds": round(build_s, 3),
+            "files_per_sec": round(files_per_sec, 1),
+        },
+        "bm25_latency_ms": {"p50": round(p50, 1), "p95": round(p95, 1),
+                            "n_queries": len(lat)},
+        "cpus": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()

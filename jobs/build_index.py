@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""spark-submit job: build (or resume) the physical inverted index.
+
+    spark-submit --py-files dist/searchengine_spark.zip jobs/build_index.py \
+        --input /path/to/docs_parquet --out /path/to/index \
+        --segments 64 --salt 16 --buckets 256
+
+``--input`` must have the BASELINE.json input_hint shape
+(repo, path, commit, lang, content); ``--synthetic N`` generates the
+deterministic corpus instead (bench/test).  The job is idempotent and
+resumable: re-running after a failure skips segments with 'done' manifests.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="parquet dir of (repo,path,commit,lang,content)")
+    ap.add_argument("--synthetic", type=int, default=0, help="generate N synthetic docs")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--segments", type=int, default=8)
+    ap.add_argument("--salt", type=int, default=8)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--block-size", type=int, default=128)
+    ap.add_argument("--analyzer", choices=["jvm", "arrow"], default="jvm")
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args()
+
+    from searchengine_spark.corpus import corpus_df, ingest, sha256_invariant_ok
+    from searchengine_spark.session import get_spark
+
+    spark = get_spark("build_index", cores=args.cores)
+    if args.synthetic:
+        raw = corpus_df(spark, args.synthetic)
+    elif args.input:
+        raw = spark.read.parquet(args.input)
+    else:
+        ap.error("need --input or --synthetic")
+
+    t0 = time.perf_counter()
+    docs = ingest(raw).cache()
+    n = docs.count()
+    assert sha256_invariant_ok(docs), "sha256 per-row invariant violated"
+
+    from searchengine_spark.index.builder import build_index
+
+    meta = build_index(
+        docs, args.out, n_segments=args.segments, salt=args.salt,
+        n_buckets=args.buckets, block_size=args.block_size,
+        analyzer_impl=args.analyzer, resume=not args.no_resume,
+    )
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "n_docs": n, "seconds": round(dt, 2),
+        "files_per_sec": round(n / dt, 1), "meta": meta,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -186,9 +186,13 @@ def segment_topk(term_rows: list[dict], n_docs: int, avgdl: float, k: int,
 
 
 def bm25_topk(spark: SparkSession, index_dir: str, query: str, k: int = 10,
-              mode: str = "maxscore", conjunctive: bool = False) -> DataFrame:
+              mode: str = "maxscore", conjunctive: bool = False,
+              index_df: DataFrame | None = None) -> DataFrame:
     """Distributed top-k: partition-pruned index read -> per-segment numpy
-    top-k (applyInPandas) -> global ordered merge."""
+    top-k (applyInPandas) -> global ordered merge.
+
+    ``index_df``: pass a cached ``read_index(spark, dir)`` DataFrame to
+    amortize the scan across many queries (warm-path latency)."""
     from pyspark.sql import functions as F
 
     from .builder import read_index
@@ -200,7 +204,10 @@ def bm25_topk(spark: SparkSession, index_dir: str, query: str, k: int = 10,
     if not qlemmas:
         return empty
 
-    idx = read_index(spark, index_dir, qlemmas)
+    if index_df is not None:
+        idx = index_df.filter(F.col("lemma").isin(qlemmas))
+    else:
+        idx = read_index(spark, index_dir, qlemmas)
     # global df per lemma (sum over segments) — tiny collect, broadcast via closure
     gdf = {r["lemma"]: r["gdf"] for r in
            idx.groupBy("lemma").agg(F.sum("df").alias("gdf")).collect()}
