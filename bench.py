@@ -55,6 +55,11 @@ def main() -> None:
     spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
     t_all = time.perf_counter()
 
+    # session warmup so the first headline query isn't charged JVM/codegen
+    # startup (~5-8 s) — per-query numbers then reflect the queries
+    spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10).collect()
+    QUERIES["point_lookup"](spark, sf_dir).collect()
+
     # 1 — headline gate queries on the driver's parquet tables
     q_times: dict[str, float] = {}
     for name in HEADLINE:

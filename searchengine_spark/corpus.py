@@ -193,8 +193,18 @@ def ingest(docs: DataFrame, key_partitions: int | None = None) -> DataFrame:
 
     key = ["repo", "path", "commit"]
     nparts = key_partitions or docs.sparkSession.sparkContext.defaultParallelism
-    ranged = docs.repartitionByRange(nparts, *key).withColumn(
-        "_pid", F.spark_partition_id()
+    # MATERIALIZE the range partitioning once (localCheckpoint): the range
+    # boundaries come from SAMPLING, so two separate jobs over the same
+    # lineage can land rows in different partitions — the offsets job and
+    # the row_number job would then disagree and doc_ids would collide
+    # (observed at 40k docs).  Any single consistent partitioning yields
+    # correct global ranks (boundaries only move partition edges, not key
+    # order), so freezing one execution is sufficient.  At real scale this
+    # materialization is a staging write to durable storage instead.
+    ranged = (
+        docs.repartitionByRange(nparts, *key)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     # one narrow job to learn per-partition counts -> offsets (tiny, driver-side)
     counts = {r["_pid"]: r["n"] for r in

@@ -608,6 +608,71 @@ FROM documents
 """
 
 
+# --- U1-U3: set operations --------------------------------------------------
+
+
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 (retainAll, SearchServiceImpl.java:135): docs containing 'spark'
+    ∩ docs containing 'merge'."""
+    docs = _load(spark, sf_dir, "documents")
+    a = docs.filter(F.array_contains(tokens_col(F.col("text")), "spark")).select("doc_id")
+    b = docs.filter(F.array_contains(tokens_col(F.col("text")), "merge")).select("doc_id")
+    return a.intersect(b)
+
+
+SQL_SET_INTERSECT = f"""
+SELECT doc_id FROM ({_TOK_SQL}) WHERE token = 'spark'
+INTERSECT
+SELECT doc_id FROM ({_TOK_SQL}) WHERE token = 'merge'
+"""
+
+
+def q_set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2+U3 (addAll + HashSet semantics, SearchServiceImpl.java:109-119):
+    union of two candidate sets, deduplicated."""
+    docs = _load(spark, sf_dir, "documents")
+    a = docs.filter(F.array_contains(tokens_col(F.col("text")), "vector")).select("doc_id")
+    b = docs.filter(F.array_contains(tokens_col(F.col("text")), "stream")).select("doc_id")
+    return a.union(b).distinct()
+
+
+SQL_SET_UNION = f"""
+SELECT DISTINCT doc_id FROM (
+  SELECT doc_id FROM ({_TOK_SQL}) WHERE token = 'vector'
+  UNION ALL
+  SELECT doc_id FROM ({_TOK_SQL}) WHERE token = 'stream'
+)
+"""
+
+
+# --- C-family scalar functions ----------------------------------------------
+
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1/C9/C10-family scalar projection: lower/upper, substring math,
+    HALF_UP rounding, concat — one whole-stage-codegen projection."""
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.upper("source").alias("src_upper"),
+        F.substring("text", 1, 20).alias("head20"),
+        F.round(F.col("n_chars") / 7.0, 2).alias("sevenths"),
+        F.concat_ws(":", "lang", "source").alias("lang_src"),
+        F.length("text").alias("text_len"),
+    )
+
+
+SQL_SCALAR_FUNCS = """
+SELECT doc_id,
+       upper(source) AS src_upper,
+       substr(text, 1, 20) AS head20,
+       round(n_chars / 7.0, 2) AS sevenths,
+       lang || ':' || source AS lang_src,
+       length(text)::INT AS text_len
+FROM documents
+"""
+
+
 # --- registry ---------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -632,6 +697,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "set_intersect": q_set_intersect,
+    "set_union_distinct": q_set_union_distinct,
+    "scalar_funcs": q_scalar_funcs,
 }
 
 ORACLE: dict[str, str] = {
@@ -653,6 +721,9 @@ ORACLE: dict[str, str] = {
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,
+    "set_intersect": SQL_SET_INTERSECT,
+    "set_union_distinct": SQL_SET_UNION,
+    "scalar_funcs": SQL_SCALAR_FUNCS,
     # rows-only (hash functions have no DuckDB twin):
     #   dedup_minhash_lsh, dedup_simhash, ann_lsh_topk
 }

@@ -111,6 +111,14 @@ def build_index(
     spark = docs_ingested.sparkSession
     narrow = docs_ingested.select("repo", "doc_id", "content", "sha256")
 
+    # resume short-circuit: if every segment already has a 'done' manifest,
+    # skip the (expensive) n_docs/avgdl recomputation entirely
+    if resume and os.path.exists(f"{out_dir}/meta.json") and all(
+        segment_done(out_dir, s) for s in range(n_segments)
+    ):
+        with open(f"{out_dir}/meta.json") as fh:
+            return json.load(fh)
+
     n_docs = narrow.count()
     seg_size = max(1, math.ceil(n_docs / n_segments))
     seg_col = (F.col("doc_id") / seg_size).cast("int")
