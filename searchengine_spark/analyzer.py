@@ -229,3 +229,55 @@ def tokenize(docs: DataFrame, text_col: str = "content",
     if impl == "arrow":
         return tokenize_arrow(docs, text_col, id_cols)
     raise ValueError(f"unknown analyzer impl: {impl!r}")
+
+
+def doc_term_stats_arrow(docs: DataFrame, text_col: str = "content") -> DataFrame:
+    """(repo, doc_id, text) -> (repo, doc_id, lemma, tf, dl) with ZERO
+    shuffle: a document's tokens all live in its own input row, so per-doc
+    term frequencies and the doc length are computable entirely map-side
+    inside one Arrow batch (pandas groupby) — where explode+groupBy would
+    exchange every posting.  This is the index build's preferred analyzer
+    stage: the first shuffle in the whole build is then the salted posting
+    merge itself.
+    """
+    import pandas as pd  # noqa: F401
+
+    schema = "repo string, doc_id long, lemma string, tf int, dl long"
+    narrowed = docs.select("repo", "doc_id", text_col)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        forms = {k: list(v) for k, v in NORMAL_FORMS.items()}
+        for pdf in it:
+            if pdf.empty:
+                continue
+            s = pdf[text_col].fillna("")
+            s = s.str.replace(_CAMEL_1[0], r"\1 \2", regex=True)
+            s = s.str.replace(_CAMEL_2[0], r"\1 \2", regex=True)
+            s = s.str.lower().str.replace(_STRIP_PY, " ", regex=True)
+            flat = s.str.split().explode().dropna()
+            keep = (flat.str.len() >= MIN_TOKEN_LEN) & ~flat.isin(STOP_WORDS)
+            flat = flat[keep]
+            base = pdf[["repo", "doc_id"]].reindex(flat.index).assign(lemma=flat.values)
+            has_exc = base["lemma"].isin(forms.keys())
+            if has_exc.any():
+                exc_rows = base[has_exc].copy()
+                exc_rows["lemma"] = exc_rows["lemma"].map(forms)
+                base = pd.concat(
+                    [base[~has_exc], exc_rows.explode("lemma")], ignore_index=True
+                )
+            if base.empty:
+                continue
+            tf = (
+                base.groupby(["repo", "doc_id", "lemma"], sort=False)
+                .size()
+                .rename("tf")
+                .reset_index()
+            )
+            dl = tf.groupby("doc_id", sort=False)["tf"].transform("sum")
+            tf["tf"] = tf["tf"].astype("int32")
+            tf["dl"] = dl.astype("int64")
+            yield tf
+
+    return narrowed.mapInPandas(_batches, schema=schema)

@@ -81,11 +81,20 @@ INDEX_OUT_SCHEMA = T.StructType(
 
 
 def hash_bucket(lemma: str, n_buckets: int) -> int:
-    """Deterministic, Python/JVM-agreeing bucket (md5-based, not Python's
-    salted builtin hash)."""
+    """Deterministic, Python/JVM-agreeing bucket: first 4 bytes of md5, big
+    endian (not Python's salted builtin hash).  The JVM twin is
+    :func:`hash_bucket_col`; tests assert they agree."""
     import hashlib
 
     return int.from_bytes(hashlib.md5(lemma.encode()).digest()[:4], "big") % n_buckets
+
+
+def hash_bucket_col(lemma_col, n_buckets: int):
+    """JVM column expression computing exactly :func:`hash_bucket`."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(lemma_col), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    ).cast("int")
 
 
 def build_index(
@@ -95,7 +104,7 @@ def build_index(
     salt: int = 8,
     n_buckets: int = 16,
     block_size: int = 128,
-    analyzer_impl: str = "jvm",
+    analyzer_impl: str = "arrow",
     resume: bool = True,
     fixed_avgdl: float | None = None,
 ) -> dict:
@@ -123,15 +132,27 @@ def build_index(
     seg_size = max(1, math.ceil(n_docs / n_segments))
     seg_col = (F.col("doc_id") / seg_size).cast("int")
 
-    tf = term_frequencies(narrow.select("repo", "doc_id", "content"), impl=analyzer_impl)
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    if analyzer_impl == "arrow":
+        # fused Arrow analyzer: (tf, dl) computed entirely map-side in one
+        # mapInPandas (a doc's tokens never leave its partition) — the first
+        # shuffle of the whole build is the salted posting merge itself
+        from ..analyzer import doc_term_stats_arrow
+
+        stats = doc_term_stats_arrow(narrow.select("repo", "doc_id", "content"))
+    else:
+        tf = term_frequencies(narrow.select("repo", "doc_id", "content"), impl=analyzer_impl)
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        stats = tf.join(dl, "doc_id")
+
     if fixed_avgdl is not None:
         # incremental rebuild: keep the original avgdl so block-max upper
         # bounds stay consistent with untouched segments (MaxScore safety)
         avgdl = float(fixed_avgdl)
     else:
         # avgdl over ALL docs (zero-lemma docs included) — matches the oracle
-        total_dl = dl.agg(F.sum("dl")).collect()[0][0] or 0
+        total_dl = (
+            stats.select("doc_id", "dl").distinct().agg(F.sum("dl")).collect()[0][0] or 0
+        )
         avgdl = float(total_dl) / n_docs if n_docs else 1.0
 
     meta = {
@@ -154,20 +175,34 @@ def build_index(
         return meta
 
     postings = (
-        tf.join(dl, "doc_id")
-        .withColumn("segment", seg_col)
+        stats.withColumn("segment", seg_col)
         .filter(F.col("segment").isin(missing))
         .select("segment", "lemma", "doc_id", "tf", "dl")
     )
 
     # ---- stage 1: salted partial runs (bounded reducer keys) --------------
+    # Runs travel as three ALIGNED primitive arrays (struct-field extraction
+    # after sort_array, JVM-side): Arrow then hands numpy arrays to the
+    # merge UDF directly — no per-posting Python dict handling.
     runs = (
         postings.withColumn("_salt", F.pmod(F.col("doc_id"), F.lit(salt)).cast("int"))
         .groupBy("segment", "lemma", "_salt")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "tf", "dl"))).alias("run"))
+        .select(
+            "segment",
+            "lemma",
+            hash_bucket_col(F.col("lemma"), n_buckets).alias("bucket"),
+            F.col("run.doc_id").alias("r_docs"),
+            F.col("run.tf").alias("r_tfs"),
+            F.col("run.dl").alias("r_dls"),
+        )
     )
 
-    # ---- stage 2: k-way merge + encode per (segment, lemma) ---------------
+    # ---- stage 2: k-way merge + encode, grouped by (segment, BUCKET) ------
+    # Grouping by (segment, lemma) would mean one applyInPandas invocation
+    # per term (tens of thousands of tiny Arrow batches — measured to
+    # dominate the build); (segment, bucket) gives n_segments x n_buckets
+    # well-sized groups and the per-lemma loop runs in pandas inside.
     def _merge(pdf):
         import numpy as np
         import pandas as pd
@@ -175,35 +210,31 @@ def build_index(
         from .codec import encode_postings
 
         out = []
-        for (seg, lemma), grp in pdf.groupby(["segment", "lemma"], sort=False):
-            rows = [
-                np.array([(r["doc_id"], r["tf"], r["dl"]) for r in run], dtype=np.int64)
-                for run in grp["run"]
-                if len(run)
-            ]
-            if not rows:
-                continue
-            allp = np.concatenate(rows)
-            allp = allp[np.argsort(allp[:, 0], kind="mergesort")]
-            enc = encode_postings(
-                allp[:, 0], allp[:, 1], allp[:, 2], avgdl, K1, B, block_size
-            )
+        for (seg, lemma, bucket), grp in pdf.groupby(
+            ["segment", "lemma", "bucket"], sort=False
+        ):
+            docs = np.concatenate([np.asarray(a, dtype=np.int64) for a in grp["r_docs"]])
+            tfs = np.concatenate([np.asarray(a, dtype=np.int64) for a in grp["r_tfs"]])
+            dls = np.concatenate([np.asarray(a, dtype=np.int64) for a in grp["r_dls"]])
+            order = np.argsort(docs, kind="mergesort")
+            docs, tfs, dls = docs[order], tfs[order], dls[order]
+            enc = encode_postings(docs, tfs, dls, avgdl, K1, B, block_size)
             out.append(
                 {
                     "segment": int(seg),
                     "lemma": lemma,
-                    "df": int(allp.shape[0]),
+                    "df": int(docs.size),
                     "postings": enc.docs,
                     "tfs": enc.tfs,
                     "dls": enc.dls,
                     "blocks": [tuple(b) for b in enc.blocks],
-                    "bucket": hash_bucket(lemma, n_buckets),
+                    "bucket": int(bucket),
                 }
             )
         cols = ["segment", "lemma", "df", "postings", "tfs", "dls", "blocks", "bucket"]
         return pd.DataFrame(out, columns=cols)
 
-    index_df = runs.groupBy("segment", "lemma").applyInPandas(_merge, schema=INDEX_OUT_SCHEMA)
+    index_df = runs.groupBy("segment", "bucket").applyInPandas(_merge, schema=INDEX_OUT_SCHEMA)
     (
         index_df.repartition("segment", "bucket")
         .write.mode("overwrite")
