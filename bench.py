@@ -79,17 +79,16 @@ def main() -> None:
         files_per_sec = n / build_s
         q_times["index_build"] = round(build_s, 3)
 
-        # 3 — BM25 top-10 latency on the physical index (warm session +
-        # cached index, the serving configuration)
-        from searchengine_spark.index.builder import read_index
+        # 3 — BM25 top-10 latency on the physical index (warm serving
+        # configuration: QueryEngine caches index + dictionary)
+        from searchengine_spark.index.wand import QueryEngine
 
-        idx = read_index(spark, out).cache()
-        idx.count()
-        bm25_topk(spark, out, "tamok", 10, index_df=idx).collect()  # warmup
+        engine = QueryEngine(spark, out)
+        engine.topk_rows("tamok", 10)  # warmup
         lat: list[float] = []
         for q in BENCH_QUERY_SET:
             t0 = time.perf_counter()
-            bm25_topk(spark, out, q, 10, mode="maxscore", index_df=idx).collect()
+            engine.topk_rows(q, 10, mode="maxscore")
             lat.append(time.perf_counter() - t0)
         lat.sort()
         p50 = lat[len(lat) // 2] * 1000

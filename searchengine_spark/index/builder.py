@@ -4,14 +4,20 @@ SURVEY.md §3.2 (build lifecycle) + §4 items 1/3/4/5.  Pipeline (ONE pass
 over all segments that still need building):
 
   docs (ingested: doc_id, sha256)                       [narrow scan]
-    -> analyzer tokenize -> tf (repo, doc_id, lemma, tf) [shuffle 1: hash agg]
-    -> + dl (per-doc length)                             [shuffle 2: hash agg + join]
+    -> fused Arrow analyzer: (repo, doc_id, lemma, tf, dl) computed
+       entirely MAP-SIDE in one mapInPandas — a doc's tokens never leave
+       its partition, so tf/dl need NO shuffle           [narrow]
     -> SALTED partial runs: groupBy(segment, lemma, salt=doc_id % S),
-       each run sorted by doc_id                         [shuffle 3, bounded keys]
-    -> final merge: groupBy(segment, lemma), k-way merge of <= S sorted
-       runs, delta+varbyte encode + block-max directory  [shuffle 4, S rows/key]
+       runs sorted by doc_id, shipped as aligned
+       primitive arrays (struct-field extraction)        [shuffle 1, bounded keys]
+    -> final merge: groupBy(segment, BUCKET), per-lemma k-way merge of
+       <= S sorted runs in numpy, delta+varbyte encode +
+       block-max directory                               [shuffle 2, coarse groups]
     -> ONE write, partitionBy(segment, bucket(lemma)), dynamic partition
        overwrite (already-done segments untouched)       [partition-pruned reads]
+
+(``analyzer_impl='jvm'`` swaps the first stage for the pure-Catalyst
+tokenizer + two hash-agg shuffles — same output, tested equal.)
 
 Why salted two-level merge (SURVEY.md §4 item 3): lemma frequency is Zipf —
 a plain ``groupBy(lemma).collect_list`` sends the hottest term's entire
@@ -132,6 +138,11 @@ def build_index(
     seg_size = max(1, math.ceil(n_docs / n_segments))
     seg_col = (F.col("doc_id") / seg_size).cast("int")
 
+    import time as _time
+
+    timings: dict[str, float] = {}
+    _t = _time.perf_counter()
+
     if analyzer_impl == "arrow":
         # fused Arrow analyzer: (tf, dl) computed entirely map-side in one
         # mapInPandas (a doc's tokens never leave its partition) — the first
@@ -143,6 +154,11 @@ def build_index(
         tf = term_frequencies(narrow.select("repo", "doc_id", "content"), impl=analyzer_impl)
         dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
         stats = tf.join(dl, "doc_id")
+    # cache: both the avgdl action and the merge pipeline consume stats —
+    # without this the (expensive) analyzer stage runs twice per build
+    stats = stats.persist()
+    timings["analyze_plan_s"] = round(_time.perf_counter() - _t, 2)
+    _t = _time.perf_counter()
 
     if fixed_avgdl is not None:
         # incremental rebuild: keep the original avgdl so block-max upper
@@ -154,6 +170,8 @@ def build_index(
             stats.select("doc_id", "dl").distinct().agg(F.sum("dl")).collect()[0][0] or 0
         )
         avgdl = float(total_dl) / n_docs if n_docs else 1.0
+    timings["avgdl_s"] = round(__import__("time").perf_counter() - _t, 2)
+    _t = __import__("time").perf_counter()
 
     meta = {
         "n_docs": n_docs,
@@ -172,6 +190,7 @@ def build_index(
 
     missing = [s for s in range(n_segments) if not (resume and segment_done(out_dir, s))]
     if not missing:
+        stats.unpersist()
         return meta
 
     postings = (
@@ -242,6 +261,24 @@ def build_index(
         .partitionBy("segment", "bucket")
         .parquet(f"{out_dir}/data")
     )
+    timings["merge_write_s"] = round(__import__("time").perf_counter() - _t, 2)
+    _t = __import__("time").perf_counter()
+
+    # ---- dictionary: global df per lemma (all segments), bucket-partitioned
+    # so query-time term lookups are pruned file reads with no aggregation —
+    # ≙ the reference's `lemma` table as a physical artifact.
+    full = spark.read.parquet(f"{out_dir}/data")
+    (
+        full.groupBy("lemma")
+        .agg(F.sum("df").alias("gdf"))
+        .withColumn("bucket", hash_bucket_col(F.col("lemma"), n_buckets))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{out_dir}/dict")
+    )
+    timings["dict_s"] = round(__import__("time").perf_counter() - _t, 2)
+    _t = __import__("time").perf_counter()
 
     # ---- manifests: one grouped agg per side, single job each -------------
     lineage = {
@@ -280,6 +317,9 @@ def build_index(
                 "status": "done",
             },
         )
+    timings["manifests_s"] = round(_time.perf_counter() - _t, 2)
+    stats.unpersist()
+    meta["timings"] = timings
     return meta
 
 

@@ -185,9 +185,120 @@ def segment_topk(term_rows: list[dict], n_docs: int, avgdl: float, k: int,
     return _topk(cand, _score_ids(cand, terms, idfs, k1, b, avgdl), k)
 
 
+def gdf_lookup(spark: SparkSession, index_dir: str, qlemmas: list[str],
+               meta: dict) -> list[tuple[str, int]]:
+    """Pruned dictionary lookup: read only the bucket= dirs of the query
+    terms.  Returns [] if the dict artifact doesn't exist."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .builder import hash_bucket
+
+    if not os.path.isdir(f"{index_dir}/dict"):
+        return []
+    buckets = sorted({hash_bucket(x, meta["n_buckets"]) for x in qlemmas})
+    df = spark.read.parquet(f"{index_dir}/dict")
+    rows = (
+        df.filter(F.col("bucket").isin(buckets))
+        .filter(F.col("lemma").isin(qlemmas))
+        .collect()
+    )
+    return [(r["lemma"], int(r["gdf"])) for r in rows]
+
+
+class QueryEngine:
+    """Warm serving wrapper: caches meta, the (Spark-cached) index DataFrame
+    and the full dictionary, so each query is a single Spark job."""
+
+    def __init__(self, spark: SparkSession, index_dir: str, preload_dict: bool = True):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(f"{index_dir}/meta.json") as fh:
+            self.meta = json.load(fh)
+        from .builder import read_index
+
+        self.index_df = read_index(spark, index_dir).cache()
+        self.index_df.count()
+        self._gdf: dict[str, int] | None = None
+        if preload_dict:
+            import os
+
+            if os.path.isdir(f"{index_dir}/dict"):
+                self._gdf = {
+                    r["lemma"]: int(r["gdf"])
+                    for r in spark.read.parquet(f"{index_dir}/dict").collect()
+                }
+
+    def topk(self, query: str, k: int = 10, mode: str = "maxscore",
+             conjunctive: bool = False) -> DataFrame:
+        gdf = None
+        if self._gdf is not None:
+            qlemmas = sorted(set(analyze(query)))
+            gdf = {t: self._gdf[t] for t in qlemmas if t in self._gdf}
+        return bm25_topk(self.spark, self.index_dir, query, k, mode=mode,
+                         conjunctive=conjunctive, index_df=self.index_df,
+                         gdf_override=gdf)
+
+    def topk_rows(self, query: str, k: int = 10, mode: str = "maxscore",
+                  conjunctive: bool = False,
+                  local_threshold_bytes: int = 64 << 20) -> list[tuple[int, float]]:
+        """Serving fast path: collect the (pruned, tiny) term rows to the
+        driver and score them locally in numpy — one cheap collect instead
+        of a shuffle + applyInPandas stage.  Falls back to the distributed
+        path when the pulled postings exceed ``local_threshold_bytes``
+        (broker-style: small working sets score on the broker, big ones on
+        the workers).  Exactness is identical: same segment_topk code."""
+        from pyspark.sql import functions as F
+
+        from .builder import hash_bucket
+
+        qlemmas = sorted(set(analyze(query)))
+        if not qlemmas:
+            return []
+        buckets = sorted({hash_bucket(x, self.meta["n_buckets"]) for x in qlemmas})
+        rows = (
+            self.index_df.filter(F.col("bucket").isin(buckets))
+            .filter(F.col("lemma").isin(qlemmas))
+            .collect()
+        )
+        if not rows:
+            return []
+        total = sum(len(r["postings"]) + len(r["tfs"]) + len(r["dls"]) for r in rows)
+        if total > local_threshold_bytes:
+            out = self.topk(query, k, mode, conjunctive).collect()
+            return [(r["doc_id"], r["score"]) for r in out]
+        gdf: dict[str, int] = {}
+        if self._gdf is not None:
+            gdf = {t: self._gdf[t] for t in qlemmas if t in self._gdf}
+        else:
+            for r in rows:
+                gdf[r["lemma"]] = gdf.get(r["lemma"], 0) + int(r["df"])
+        n_terms = len(gdf)
+        by_seg: dict[int, list[dict]] = {}
+        for r in rows:
+            by_seg.setdefault(int(r["segment"]), []).append(
+                {"df": gdf[r["lemma"]], "lemma": r["lemma"], "postings": r["postings"],
+                 "tfs": r["tfs"], "dls": r["dls"],
+                 "blocks": [b.asDict() if hasattr(b, "asDict") else b for b in r["blocks"]]}
+            )
+        merged: list[tuple[int, float]] = []
+        for seg_rows in by_seg.values():
+            if conjunctive and len({x["lemma"] for x in seg_rows}) < n_terms:
+                continue
+            ids, scores = segment_topk(
+                seg_rows, self.meta["n_docs"], self.meta["avgdl"], k,
+                self.meta["k1"], self.meta["b"], mode, conjunctive,
+            )
+            merged.extend(zip(ids.tolist(), scores.tolist()))
+        merged.sort(key=lambda t: (-t[1], t[0]))
+        return merged[:k]
+
+
 def bm25_topk(spark: SparkSession, index_dir: str, query: str, k: int = 10,
               mode: str = "maxscore", conjunctive: bool = False,
-              index_df: DataFrame | None = None) -> DataFrame:
+              index_df: DataFrame | None = None,
+              gdf_override: dict[str, int] | None = None) -> DataFrame:
     """Distributed top-k: partition-pruned index read -> per-segment numpy
     top-k (applyInPandas) -> global ordered merge.
 
@@ -208,9 +319,15 @@ def bm25_topk(spark: SparkSession, index_dir: str, query: str, k: int = 10,
         idx = index_df.filter(F.col("lemma").isin(qlemmas))
     else:
         idx = read_index(spark, index_dir, qlemmas)
-    # global df per lemma (sum over segments) — tiny collect, broadcast via closure
-    gdf = {r["lemma"]: r["gdf"] for r in
-           idx.groupBy("lemma").agg(F.sum("df").alias("gdf")).collect()}
+    # global df per lemma: preloaded dict (QueryEngine) > pruned read of the
+    # build-time dictionary artifact > aggregate over index rows (legacy)
+    if gdf_override is not None:
+        gdf = gdf_override
+    else:
+        gdf = dict(gdf_lookup(spark, index_dir, qlemmas, meta))
+        if not gdf:
+            gdf = {r["lemma"]: r["gdf"] for r in
+                   idx.groupBy("lemma").agg(F.sum("df").alias("gdf")).collect()}
     if not gdf:
         return empty
     n_docs, avgdl, k1, b = meta["n_docs"], meta["avgdl"], meta["k1"], meta["b"]

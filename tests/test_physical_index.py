@@ -167,6 +167,33 @@ def test_resume_skips_done_segments_and_is_identical(spark, docs, tmp_path):
         assert bytes(ra["dls"]) == bytes(rb["dls"])
 
 
+def test_query_engine_fast_path_equals_distributed(spark, index_dir):
+    """QueryEngine.topk_rows (driver-side scoring of the pruned term set)
+    must equal the distributed applyInPandas path exactly, incl. ties."""
+    from searchengine_spark.index.wand import QueryEngine
+
+    eng = QueryEngine(spark, index_dir)
+    for q, conj in [("tamok velsor", False), ("tamok velsor", True),
+                    ("kw_rare_xyzzy", False), ("норма tamok", False)]:
+        fast = eng.topk_rows(q, 10, conjunctive=conj)
+        dist = [(r["doc_id"], r["score"])
+                for r in eng.topk(q, 10, conjunctive=conj).collect()]
+        assert fast == dist, (q, conj)
+    assert eng.topk_rows("the and for", 10) == []
+
+
+def test_dictionary_artifact(spark, index_dir, logical_index):
+    """The build-time dict equals Σ df over segments per lemma."""
+    from pyspark.sql import functions as F
+
+    tf, _ = logical_index
+    d = spark.read.parquet(f"{index_dir}/dict")
+    got = {r["lemma"]: r["gdf"] for r in d.collect()}
+    want = {r["lemma"]: r["n"] for r in
+            tf.groupBy("lemma").agg(F.count("*").alias("n")).collect()}
+    assert got == want
+
+
 def test_segment_topk_unit():
     """Pure-numpy unit: two tiny terms, hand-checkable."""
     from searchengine_spark.index.codec import encode_postings
