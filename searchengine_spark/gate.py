@@ -319,8 +319,6 @@ def q_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-based form; the multi-word regex form is pytest-verified)."""
     docs = _load(spark, sf_dir, "documents")
     pos = F.instr(F.col("text"), SNIPPET_WORD)  # 1-based, 0 = absent
-    start = F.greatest(pos - 100, F.lit(1))
-    end_excl = F.least(pos + 100, F.length("text") + 1)
     snip = F.concat(F.expr(
         f"substring(text, greatest(instr(text, '{SNIPPET_WORD}') - 100, 1), "
         f"least(instr(text, '{SNIPPET_WORD}') + 100, length(text) + 1) "
