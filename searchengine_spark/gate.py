@@ -671,6 +671,29 @@ FROM documents
 """
 
 
+# --- event-time tumbling window (streaming-adjacent; §2.9 extension) --------
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregation over the events table —
+    the batch twin of the Structured Streaming windowed agg (the same
+    ``window()`` expression runs under readStream + watermark; parity is
+    tested in tests/test_incremental.py)."""
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(F.col("w.start").alias("hour"), "event_type", "n", "total")
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*)::BIGINT AS n, round(sum(value), 4) AS total
+FROM events GROUP BY 1, 2
+"""
+
+
 # --- registry ---------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -698,6 +721,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_intersect": q_set_intersect,
     "set_union_distinct": q_set_union_distinct,
     "scalar_funcs": q_scalar_funcs,
+    "events_hourly_window": q_events_hourly,
 }
 
 ORACLE: dict[str, str] = {
@@ -724,4 +748,8 @@ ORACLE: dict[str, str] = {
     "scalar_funcs": SQL_SCALAR_FUNCS,
     # rows-only (hash functions have no DuckDB twin):
     #   dedup_minhash_lsh, dedup_simhash, ann_lsh_topk
+    # rows-only (timestamp tz semantics differ between the driver's Spark
+    # session and DuckDB's naive reads; windowed-agg parity is instead
+    # proven stream-vs-batch in tests/test_streaming_window.py):
+    #   events_hourly_window
 }

@@ -41,6 +41,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # read naive parquet timestamps as TIMESTAMP_NTZ (no tz shifting) —
+        # matches DuckDB's naive reading of the same files
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))

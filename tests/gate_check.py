@@ -29,7 +29,11 @@ def duck_conn(sf_dir: str):
 
 
 def normalize(rows: list[dict]) -> list[tuple]:
-    """Sort columns by name, round floats, sort rows — order-insensitive."""
+    """Sort columns by name, round floats, canonicalize timestamps (a
+    datetime and a pandas Timestamp repr-sort differently even when equal),
+    sort rows — order-insensitive."""
+    import datetime
+
     out = []
     for r in rows:
         vals = []
@@ -37,6 +41,10 @@ def normalize(rows: list[dict]) -> list[tuple]:
             v = r[k]
             if isinstance(v, float):
                 v = None if math.isnan(v) else round(v, 6)
+            elif isinstance(v, datetime.datetime):
+                v = v.isoformat()
+            elif type(v).__name__ == "Timestamp":  # pandas
+                v = v.to_pydatetime().isoformat()
             vals.append((k, v))
         out.append(tuple(vals))
     return sorted(out, key=repr)
