@@ -28,6 +28,11 @@ QUERIES = [
     ("renta", None, 0, 1),                   # k=1
     ("renta", None, 0, 100),                 # k=100
     ("velsor renta", None, 3, 4),
+    ("норма", "org0/proj0", 0, 20),          # multi-lemma + repo scope
+    ("value(7) tamok", None, 0, 20),         # regex-special chars in raw query
+    ("tamok TAMOK Tamok", None, 0, 20),      # case folding collapses to 1 lemma
+    ("sorvel", None, 0, 2),                  # tie-heavy tiny page
+    ("lixpex rudmoksilkip", None, 1, 3),     # 2-term with offset
 ]
 
 
