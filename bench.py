@@ -30,7 +30,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "20000"))
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "40000"))
 BENCH_QUERY_SET = [
     "tamok", "velsor", "tamok velsor", "sorvel lixpex", "renta drosorqua",
     "tamok velsor binqua", "veltadrolix", "kw_rare_xyzzy", "норма tamok",
