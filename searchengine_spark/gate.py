@@ -671,6 +671,96 @@ FROM documents
 """
 
 
+# --- embedding-cosine near-dup pairs ----------------------------------------
+
+
+def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact; the LSH twin is rows-only)."""
+    from .operators.ann import cosine_pairs_exact
+
+    return cosine_pairs_exact(_load(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+SQL_EMBED_DEDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+         4) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(
+        list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+        4) >= 0.35
+"""
+
+
+def q_embed_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup (rows-only; recall vs exact tested
+    in pytest)."""
+    from .operators.ann import cosine_pairs_lsh
+
+    return cosine_pairs_lsh(_load(spark, sf_dir, "embeddings"), threshold=0.35,
+                            n_planes=6)
+
+
+# --- sessionization (window functions over event time) ----------------------
+
+SESSION_GAP_MIN = 30
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization: a new session starts after a >30-min gap.
+    lag + conditional cumsum windows — the classic pattern (reference has no
+    window functions, SURVEY §2.5; this is the scale extension)."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))  # exact; NTZ/TZ-session safe
+    gap = ep - F.lag(ep).over(w_ord)
+    new_s = F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), 1).otherwise(0)
+    sess = (
+        ev.withColumn("_new", new_s)
+        .withColumn("session_id", F.sum("_new").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+             - F.min(F.unix_micros(F.col("ts").cast("timestamp")))).alias("duration_us"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_MIN * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, session_id::BIGINT AS session_id,
+       count(*)::BIGINT AS n_events,
+       (max(epoch_us(ts)) - min(epoch_us(ts)))::BIGINT AS duration_us,
+       round(sum(value), 4) AS total_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
 # --- event-time tumbling window (streaming-adjacent; §2.9 extension) --------
 
 
@@ -722,6 +812,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_union_distinct": q_set_union_distinct,
     "scalar_funcs": q_scalar_funcs,
     "events_hourly_window": q_events_hourly,
+    "embed_dedup_cosine": q_embed_dedup,
+    "embed_dedup_lsh": q_embed_dedup_lsh,
+    "sessionize_events": q_sessionize,
 }
 
 ORACLE: dict[str, str] = {
@@ -746,6 +839,8 @@ ORACLE: dict[str, str] = {
     "set_intersect": SQL_SET_INTERSECT,
     "set_union_distinct": SQL_SET_UNION,
     "scalar_funcs": SQL_SCALAR_FUNCS,
+    "embed_dedup_cosine": SQL_EMBED_DEDUP,
+    "sessionize_events": SQL_SESSIONIZE,
     # rows-only (hash functions have no DuckDB twin):
     #   dedup_minhash_lsh, dedup_simhash, ann_lsh_topk
     # rows-only (timestamp tz semantics differ between the driver's Spark

@@ -53,6 +53,50 @@ def brute_force_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
+def cosine_pairs_exact(emb: DataFrame, threshold: float = 0.95,
+                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup pairs (a < b, cos >= threshold), exact.
+
+    All-pairs self-join — the correctness baseline / oracle for the LSH
+    variant; quadratic, so only for modest partitions (the 100 TB path is
+    :func:`cosine_pairs_lsh`).  Similarity rounded to 4 dp (deterministic
+    thresholding across engines)."""
+    a = emb.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.95,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     n_planes: int = 8, seed: int = 42,
+                     dim: int | None = None) -> DataFrame:
+    """Scale path for embedding near-dup: sign-pattern LSH buckets -> exact
+    cosine only for bucket-mates.  No false positives (exact verify); recall
+    follows the hyperplane collision probability (1 - θ/π)^n_planes."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    bucketed = emb.withColumn("_b", lsh_bucket_col(F.col(vec_col), planes)).cache()
+    a = bucketed.select(F.col(id_col).alias("id_a"),
+                        _as_double(F.col(vec_col)).alias("va"), "_b")
+    b = bucketed.select(F.col(id_col).alias("id_b"),
+                        _as_double(F.col(vec_col)).alias("vb"), "_b")
+    return (
+        a.join(b, "_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes (driver-side, shipped as literals)."""
     import numpy as np

@@ -63,3 +63,17 @@ def test_ann_lsh_subset_of_bruteforce_universe(spark):
     top = bf[0]["cos_sim"]
     for r in lsh:
         assert r["cos_sim"] <= top + 1e-9
+
+
+def test_embed_lsh_pairs_subset_of_exact(spark):
+    """LSH near-dup pairs ⊆ exact pairs (no false positives; verified
+    similarity identical)."""
+    from searchengine_spark.gate import q_embed_dedup, q_embed_dedup_lsh
+
+    exact = {(r["id_a"], r["id_b"]): r["cos_sim"]
+             for r in q_embed_dedup(spark, SF_DIR).collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["cos_sim"]
+           for r in q_embed_dedup_lsh(spark, SF_DIR).collect()}
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]
