@@ -143,15 +143,31 @@ def build_index(
     timings: dict[str, float] = {}
     _t = _time.perf_counter()
 
+    missing = [s for s in range(n_segments) if not (resume and segment_done(out_dir, s))]
+
+    # Reuse the stored avgdl on a partial rebuild (resume or incremental):
+    # block-max upper bounds must share one avgdl with the untouched
+    # segments (MaxScore safety), and reusing it lets us prune the analyzer
+    # input to ONLY the doc ranges being rebuilt — the expensive stage then
+    # costs O(rebuilt range), not O(corpus).
+    avgdl: float | None = float(fixed_avgdl) if fixed_avgdl is not None else None
+    if avgdl is None and len(missing) < n_segments and os.path.exists(f"{out_dir}/meta.json"):
+        with open(f"{out_dir}/meta.json") as fh:
+            avgdl = float(json.load(fh)["avgdl"])
+
+    analyzed = narrow.select("repo", "doc_id", "content")
+    if avgdl is not None and len(missing) < n_segments:
+        analyzed = analyzed.filter(seg_col.isin(missing))
+
     if analyzer_impl == "arrow":
         # fused Arrow analyzer: (tf, dl) computed entirely map-side in one
         # mapInPandas (a doc's tokens never leave its partition) — the first
         # shuffle of the whole build is the salted posting merge itself
         from ..analyzer import doc_term_stats_arrow
 
-        stats = doc_term_stats_arrow(narrow.select("repo", "doc_id", "content"))
+        stats = doc_term_stats_arrow(analyzed)
     else:
-        tf = term_frequencies(narrow.select("repo", "doc_id", "content"), impl=analyzer_impl)
+        tf = term_frequencies(analyzed, impl=analyzer_impl)
         dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
         stats = tf.join(dl, "doc_id")
     # cache: both the avgdl action and the merge pipeline consume stats —
@@ -160,11 +176,7 @@ def build_index(
     timings["analyze_plan_s"] = round(_time.perf_counter() - _t, 2)
     _t = _time.perf_counter()
 
-    if fixed_avgdl is not None:
-        # incremental rebuild: keep the original avgdl so block-max upper
-        # bounds stay consistent with untouched segments (MaxScore safety)
-        avgdl = float(fixed_avgdl)
-    else:
+    if avgdl is None:
         # avgdl over ALL docs (zero-lemma docs included) — matches the oracle
         total_dl = (
             stats.select("doc_id", "dl").distinct().agg(F.sum("dl")).collect()[0][0] or 0
@@ -188,7 +200,6 @@ def build_index(
     with open(f"{out_dir}/meta.json", "w") as fh:
         json.dump(meta, fh, indent=1)
 
-    missing = [s for s in range(n_segments) if not (resume and segment_done(out_dir, s))]
     if not missing:
         stats.unpersist()
         return meta
