@@ -220,6 +220,7 @@ class QueryEngine:
 
         self.index_df = read_index(spark, index_dir).cache()
         self.index_df.count()
+        self._term_cache: dict[str, list] = {}
         self._gdf: dict[str, int] | None = None
         if preload_dict:
             import os
@@ -256,12 +257,22 @@ class QueryEngine:
         qlemmas = sorted(set(analyze(query)))
         if not qlemmas:
             return []
-        buckets = sorted({hash_bucket(x, self.meta["n_buckets"]) for x in qlemmas})
-        rows = (
-            self.index_df.filter(F.col("bucket").isin(buckets))
-            .filter(F.col("lemma").isin(qlemmas))
-            .collect()
-        )
+        # driver-side term cache: the index is immutable per engine instance,
+        # so a term's rows (postings bytes + blocks) are collected once and
+        # repeated terms cost no Spark job at all
+        fetch = [t for t in qlemmas if t not in self._term_cache]
+        if fetch:
+            buckets = sorted({hash_bucket(x, self.meta["n_buckets"]) for x in fetch})
+            fetched = (
+                self.index_df.filter(F.col("bucket").isin(buckets))
+                .filter(F.col("lemma").isin(fetch))
+                .collect()
+            )
+            for t in fetch:
+                self._term_cache[t] = []
+            for r in fetched:
+                self._term_cache[r["lemma"]].append(r)
+        rows = [r for t in qlemmas for r in self._term_cache.get(t, ())]
         if not rows:
             return []
         total = sum(len(r["postings"]) + len(r["tfs"]) + len(r["dls"]) for r in rows)
