@@ -121,22 +121,52 @@ def build_index(
       out_dir/manifests/segment=K.json
       out_dir/data/segment=K/bucket=B/*.parquet
     """
+    import shutil
+
     from .checkpoint import segment_done, write_manifest
 
     spark = docs_ingested.sparkSession
     narrow = docs_ingested.select("repo", "doc_id", "content", "sha256")
 
-    # resume short-circuit: if every segment already has a 'done' manifest,
-    # skip the (expensive) n_docs/avgdl recomputation entirely
-    if resume and os.path.exists(f"{out_dir}/meta.json") and all(
-        segment_done(out_dir, s) for s in range(n_segments)
-    ):
+    # seg_size is a PINNED index property: once an index exists, its doc-range
+    # boundaries must never move under non-rebuilt segments (doc_ids are
+    # global ranks; a grown corpus ADDS segments, it never resizes them).
+    # salt/n_buckets/block_size are pinned with it — codec layout must agree
+    # across segments.  The n_segments argument only shapes a FRESH build.
+    old_meta: dict | None = None
+    if resume and os.path.exists(f"{out_dir}/meta.json"):
         with open(f"{out_dir}/meta.json") as fh:
-            return json.load(fh)
+            old_meta = json.load(fh)
 
     n_docs = narrow.count()
-    seg_size = max(1, math.ceil(n_docs / n_segments))
+    if old_meta is not None:
+        seg_size = int(old_meta["seg_size"])
+        salt = int(old_meta["salt"])
+        n_buckets = int(old_meta["n_buckets"])
+        block_size = int(old_meta["block_size"])
+        n_segments = max(1, math.ceil(n_docs / seg_size))
+    else:
+        seg_size = max(1, math.ceil(n_docs / n_segments))
     seg_col = (F.col("doc_id") / seg_size).cast("int")
+
+    # corpus shrank: doc ranges beyond the new segment count are stale
+    # everywhere (data, dict, manifest)
+    if os.path.isdir(f"{out_dir}/data"):
+        for name in os.listdir(f"{out_dir}/data"):
+            if name.startswith("segment=") and int(name.split("=")[1]) >= n_segments:
+                shutil.rmtree(f"{out_dir}/data/{name}", ignore_errors=True)
+                shutil.rmtree(f"{out_dir}/dict/{name}", ignore_errors=True)
+                p = f"{out_dir}/manifests/{name}.json"
+                if os.path.exists(p):
+                    os.unlink(p)
+
+    # resume short-circuit: same corpus size and every segment 'done'
+    if (
+        old_meta is not None
+        and int(old_meta.get("n_docs", -1)) == n_docs
+        and all(segment_done(out_dir, s) for s in range(n_segments))
+    ):
+        return old_meta
 
     import time as _time
 
@@ -145,15 +175,14 @@ def build_index(
 
     missing = [s for s in range(n_segments) if not (resume and segment_done(out_dir, s))]
 
-    # Reuse the stored avgdl on a partial rebuild (resume or incremental):
-    # block-max upper bounds must share one avgdl with the untouched
-    # segments (MaxScore safety), and reusing it lets us prune the analyzer
-    # input to ONLY the doc ranges being rebuilt — the expensive stage then
-    # costs O(rebuilt range), not O(corpus).
+    # The stored avgdl is reused on every PARTIAL rebuild: block-max upper
+    # bounds must share one avgdl with the untouched segments (MaxScore
+    # safety), and reusing it lets us prune the analyzer input to ONLY the
+    # doc ranges being rebuilt — the expensive stage then costs O(rebuilt
+    # range), not O(corpus).  A full rebuild refreshes it.
     avgdl: float | None = float(fixed_avgdl) if fixed_avgdl is not None else None
-    if avgdl is None and len(missing) < n_segments and os.path.exists(f"{out_dir}/meta.json"):
-        with open(f"{out_dir}/meta.json") as fh:
-            avgdl = float(json.load(fh)["avgdl"])
+    if avgdl is None and old_meta is not None and 0 < len(missing) < n_segments:
+        avgdl = float(old_meta["avgdl"])
 
     analyzed = narrow.select("repo", "doc_id", "content")
     if avgdl is not None and len(missing) < n_segments:
@@ -237,32 +266,52 @@ def build_index(
         import numpy as np
         import pandas as pd
 
-        from .codec import encode_postings
+        from .codec import encode_postings_many
 
-        out = []
-        for (seg, lemma, bucket), grp in pdf.groupby(
-            ["segment", "lemma", "bucket"], sort=False
-        ):
-            docs = np.concatenate([np.asarray(a, dtype=np.int64) for a in grp["r_docs"]])
-            tfs = np.concatenate([np.asarray(a, dtype=np.int64) for a in grp["r_tfs"]])
-            dls = np.concatenate([np.asarray(a, dtype=np.int64) for a in grp["r_dls"]])
-            order = np.argsort(docs, kind="mergesort")
-            docs, tfs, dls = docs[order], tfs[order], dls[order]
-            enc = encode_postings(docs, tfs, dls, avgdl, K1, B, block_size)
-            out.append(
-                {
-                    "segment": int(seg),
-                    "lemma": lemma,
-                    "df": int(docs.size),
-                    "postings": enc.docs,
-                    "tfs": enc.tfs,
-                    "dls": enc.dls,
-                    "blocks": [tuple(b) for b in enc.blocks],
-                    "bucket": int(bucket),
-                }
-            )
         cols = ["segment", "lemma", "df", "postings", "tfs", "dls", "blocks", "bucket"]
+        if pdf.empty:
+            return pd.DataFrame([], columns=cols)
+        # One group == one (segment, bucket).  Instead of a per-lemma Python
+        # loop, concatenate EVERY lemma's runs into flat arrays, sort once by
+        # (lemma, doc_id) (runs are disjoint by salt so ids stay strict), and
+        # batch-encode all lemmas in a single vectorized codec pass.
+        seg = int(pdf["segment"].iloc[0])
+        bucket = int(pdf["bucket"].iloc[0])
+        lens = np.fromiter((len(a) for a in pdf["r_docs"]), dtype=np.int64,
+                           count=len(pdf))
+        codes, lemmas = pd.factorize(pdf["lemma"], sort=True)
+        rid = np.repeat(codes, lens)
+        docs = np.concatenate([np.asarray(a, dtype=np.int64) for a in pdf["r_docs"]])
+        tfs = np.concatenate([np.asarray(a, dtype=np.int64) for a in pdf["r_tfs"]])
+        dls = np.concatenate([np.asarray(a, dtype=np.int64) for a in pdf["r_dls"]])
+        order = np.lexsort((docs, rid))
+        docs, tfs, dls, rid = docs[order], tfs[order], dls[order], rid[order]
+        counts = np.bincount(rid, minlength=len(lemmas))
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        encs = encode_postings_many(docs, tfs, dls, offsets, avgdl, K1, B, block_size)
+        out = [
+            {
+                "segment": seg,
+                "lemma": lemmas[t],
+                "df": int(counts[t]),
+                "postings": enc.docs,
+                "tfs": enc.tfs,
+                "dls": enc.dls,
+                "blocks": [tuple(b) for b in enc.blocks],
+                "bucket": bucket,
+            }
+            for t, enc in enumerate(encs)
+        ]
         return pd.DataFrame(out, columns=cols)
+
+    # Drop the rebuilt segments' directories wholesale BEFORE the write:
+    # dynamic partition overwrite only replaces (segment, bucket) partitions
+    # that receive rows, so a rebuilt segment that no longer produces rows
+    # for a previously-populated bucket would silently keep serving the old
+    # parquet (deleted content's postings).  Same for its dict partition.
+    for s in missing:
+        shutil.rmtree(f"{out_dir}/data/segment={s}", ignore_errors=True)
+        shutil.rmtree(f"{out_dir}/dict/segment={s}", ignore_errors=True)
 
     index_df = runs.groupBy("segment", "bucket").applyInPandas(_merge, schema=INDEX_OUT_SCHEMA)
     (
@@ -275,17 +324,21 @@ def build_index(
     timings["merge_write_s"] = round(__import__("time").perf_counter() - _t, 2)
     _t = __import__("time").perf_counter()
 
-    # ---- dictionary: global df per lemma (all segments), bucket-partitioned
-    # so query-time term lookups are pruned file reads with no aggregation —
-    # ≙ the reference's `lemma` table as a physical artifact.
-    full = spark.read.parquet(f"{out_dir}/data")
+    # ---- dictionary: per-segment df per lemma, (segment, bucket)-partitioned
+    # ≙ the reference's `lemma` table as a physical artifact.  Query-time
+    # lookups read the term's bucket= dirs and sum df across segments (a few
+    # rows per term).  Storing it per segment makes the dict rebuild
+    # O(rebuilt segments) — a column-pruned read-back of the fresh index
+    # partitions (parquet never touches the postings bytes) under the same
+    # dynamic-overwrite discipline as the data itself.
     (
-        full.groupBy("lemma")
-        .agg(F.sum("df").alias("gdf"))
-        .withColumn("bucket", hash_bucket_col(F.col("lemma"), n_buckets))
-        .repartition("bucket")
+        spark.read.parquet(f"{out_dir}/data")
+        .filter(F.col("segment").isin(missing))
+        .select("lemma", "df", "segment", "bucket")
+        .repartition("segment", "bucket")
         .write.mode("overwrite")
-        .partitionBy("bucket")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("segment", "bucket")
         .parquet(f"{out_dir}/dict")
     )
     timings["dict_s"] = round(__import__("time").perf_counter() - _t, 2)

@@ -30,12 +30,15 @@ import numpy as np
 DEFAULT_BLOCK = 128
 
 
-def varbyte_encode(values: np.ndarray) -> np.ndarray:
-    """uint64 array -> varbyte bytes (little-endian 7-bit groups, high bit =
-    continuation).  Vectorized: loops only over the max byte width (<=10)."""
+def varbyte_encode_with_ends(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 array -> (varbyte bytes, cumulative byte end per value).
+
+    Little-endian 7-bit groups, high bit = continuation.  Vectorized: loops
+    only over the max byte width (<=10).  The ends array lets batch callers
+    slice the encoded stream per value range without re-encoding."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return np.zeros(0, dtype=np.uint8)
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
     nbytes = np.ones(v.size, dtype=np.int64)
     tmp = v >> np.uint64(7)
     while tmp.any():
@@ -49,7 +52,12 @@ def varbyte_encode(values: np.ndarray) -> np.ndarray:
         byte = ((v[sel] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
         cont = (nbytes[sel] - 1 > k).astype(np.uint8) << 7
         out[starts[sel] + k] = byte | cont
-    return out
+    return out, ends
+
+
+def varbyte_encode(values: np.ndarray) -> np.ndarray:
+    """uint64 array -> varbyte bytes (see :func:`varbyte_encode_with_ends`)."""
+    return varbyte_encode_with_ends(values)[0]
 
 
 def varbyte_decode(buf: np.ndarray | bytes, offset: int = 0, count: int | None = None) -> np.ndarray:
@@ -147,6 +155,79 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
         np.concatenate(dl_parts).tobytes(),
         blocks,
     )
+
+
+def encode_postings_many(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+                         offsets: np.ndarray, avgdl: float,
+                         k1: float = 1.2, b: float = 0.75,
+                         block_size: int = DEFAULT_BLOCK) -> list[EncodedPostings]:
+    """Batch-encode MANY terms' postings in one vectorized pass.
+
+    ``offsets`` has length n_terms+1; term t owns rows
+    ``[offsets[t], offsets[t+1])`` and its doc_ids must be strictly
+    increasing.  The gap/varbyte/block math runs ONCE over the concatenated
+    arrays (no per-term numpy calls); the only per-term Python is slicing the
+    three encoded streams.  Output is byte-identical to calling
+    :func:`encode_postings` per term (tests/test_codec.py asserts it)."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    dls = np.asarray(dls, dtype=np.int64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n = doc_ids.size
+    n_terms = offsets.size - 1
+    if n == 0:
+        return []
+
+    term_lens = np.diff(offsets)
+    term_of = np.repeat(np.arange(n_terms, dtype=np.int64), term_lens)
+    idx_in_term = np.arange(n, dtype=np.int64) - offsets[term_of]
+    block_start = (idx_in_term % block_size) == 0
+
+    # gap stream: absolute docID at block starts, (delta - 1) elsewhere
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[block_start] = doc_ids[block_start]
+    rest = ~block_start
+    gaps[rest] = doc_ids[rest] - doc_ids[np.flatnonzero(rest) - 1] - 1
+    assert np.all(gaps >= 0), "docIDs must be strictly increasing per term"
+
+    docs_b, doc_ends = varbyte_encode_with_ends(gaps.astype(np.uint64))
+    tfs_b, tf_ends = varbyte_encode_with_ends(tfs.astype(np.uint64))
+    dls_b, dl_ends = varbyte_encode_with_ends(dls.astype(np.uint64))
+    doc_starts = doc_ends - np.diff(np.concatenate([[0], doc_ends]))
+    tf_starts = tf_ends - np.diff(np.concatenate([[0], tf_ends]))
+    dl_starts = dl_ends - np.diff(np.concatenate([[0], dl_ends]))
+
+    weights = bm25_weight(tfs, dls, avgdl, k1, b)
+    bs_rows = np.flatnonzero(block_start)  # global block start rows
+    block_max = np.maximum.reduceat(weights, bs_rows)
+    block_end_row = np.concatenate([bs_rows[1:], [n]]) - 1  # last row per block
+    # block index range per term (terms always begin on a block boundary)
+    term_first_block = np.searchsorted(bs_rows, offsets[:-1], side="left")
+    term_last_block = np.searchsorted(bs_rows, offsets[1:], side="left")
+
+    out: list[EncodedPostings] = []
+    for t in range(n_terms):
+        s, e = int(offsets[t]), int(offsets[t + 1])
+        if s == e:
+            out.append(EncodedPostings(b"", b"", b"", []))
+            continue
+        d0, t0, l0 = int(doc_starts[s]), int(tf_starts[s]), int(dl_starts[s])
+        d1 = int(doc_ends[e - 1])
+        t1 = int(tf_ends[e - 1])
+        l1 = int(dl_ends[e - 1])
+        blocks = []
+        for bi in range(int(term_first_block[t]), int(term_last_block[t])):
+            r0, r1 = int(bs_rows[bi]), int(block_end_row[bi])
+            blocks.append(Block(
+                int(doc_ids[r0]), int(doc_ids[r1]), r1 - r0 + 1,
+                int(doc_starts[r0]) - d0, int(tf_starts[r0]) - t0,
+                int(dl_starts[r0]) - l0, float(block_max[bi]),
+            ))
+        out.append(EncodedPostings(
+            docs_b[d0:d1].tobytes(), tfs_b[t0:t1].tobytes(),
+            dls_b[l0:l1].tobytes(), blocks,
+        ))
+    return out
 
 
 def decode_block(enc: EncodedPostings | tuple, bi: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

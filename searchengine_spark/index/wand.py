@@ -188,7 +188,9 @@ def segment_topk(term_rows: list[dict], n_docs: int, avgdl: float, k: int,
 def gdf_lookup(spark: SparkSession, index_dir: str, qlemmas: list[str],
                meta: dict) -> list[tuple[str, int]]:
     """Pruned dictionary lookup: read only the bucket= dirs of the query
-    terms.  Returns [] if the dict artifact doesn't exist."""
+    terms and sum the per-segment df rows (the dict is (segment, bucket)-
+    partitioned so partial rebuilds stay O(segment) — builder.py).
+    Returns [] if the dict artifact doesn't exist."""
     import os
 
     from pyspark.sql import functions as F
@@ -202,37 +204,83 @@ def gdf_lookup(spark: SparkSession, index_dir: str, qlemmas: list[str],
     rows = (
         df.filter(F.col("bucket").isin(buckets))
         .filter(F.col("lemma").isin(qlemmas))
+        .groupBy("lemma")
+        .agg(F.sum("df").alias("gdf"))
         .collect()
     )
     return [(r["lemma"], int(r["gdf"])) for r in rows]
 
 
+def index_fingerprint(index_dir: str) -> tuple:
+    """Cheap staleness token: (mtime_ns of meta.json, every manifest's
+    (name, mtime_ns)).  Any rebuild rewrites at least one of these, so a
+    warm QueryEngine can detect it with a handful of stat() calls."""
+    import os
+
+    out = []
+    meta = f"{index_dir}/meta.json"
+    if os.path.exists(meta):
+        out.append(("meta", os.stat(meta).st_mtime_ns))
+    mdir = f"{index_dir}/manifests"
+    if os.path.isdir(mdir):
+        for name in sorted(os.listdir(mdir)):
+            if name.endswith(".json"):
+                out.append((name, os.stat(f"{mdir}/{name}").st_mtime_ns))
+    return tuple(out)
+
+
 class QueryEngine:
     """Warm serving wrapper: caches meta, the (Spark-cached) index DataFrame
-    and the full dictionary, so each query is a single Spark job."""
+    and a bounded LRU of term rows, so each query is at most one Spark job.
 
-    def __init__(self, spark: SparkSession, index_dir: str, preload_dict: bool = True):
+    Defaults are the 10^12-file-safe ones: ``preload_dict=False`` (the full
+    dictionary is O(vocabulary) — gdf comes free with the bucket-pruned term
+    rows, or from a pruned dict read on the distributed path); the term-row
+    cache is LRU-bounded.  Every query first checks
+    :func:`index_fingerprint`: an incremental rebuild under a live engine
+    invalidates the cached index DataFrame and warm term rows instead of
+    silently serving stale postings."""
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 preload_dict: bool = False, term_cache_size: int = 4096):
         self.spark = spark
         self.index_dir = index_dir
-        with open(f"{index_dir}/meta.json") as fh:
-            self.meta = json.load(fh)
+        self._preload_dict = preload_dict
+        self._term_cache_size = term_cache_size
+        self._load()
+
+    def _load(self) -> None:
+        from collections import OrderedDict
+
         from .builder import read_index
 
-        self.index_df = read_index(spark, index_dir).cache()
+        with open(f"{self.index_dir}/meta.json") as fh:
+            self.meta = json.load(fh)
+        self._fp = index_fingerprint(self.index_dir)
+        self.index_df = read_index(self.spark, self.index_dir).cache()
         self.index_df.count()
-        self._term_cache: dict[str, list] = {}
+        self._term_cache: OrderedDict[str, list] = OrderedDict()
         self._gdf: dict[str, int] | None = None
-        if preload_dict:
+        if self._preload_dict:
             import os
 
-            if os.path.isdir(f"{index_dir}/dict"):
+            from pyspark.sql import functions as F
+
+            if os.path.isdir(f"{self.index_dir}/dict"):
                 self._gdf = {
                     r["lemma"]: int(r["gdf"])
-                    for r in spark.read.parquet(f"{index_dir}/dict").collect()
+                    for r in self.spark.read.parquet(f"{self.index_dir}/dict")
+                    .groupBy("lemma").agg(F.sum("df").alias("gdf")).collect()
                 }
+
+    def _check_fresh(self) -> None:
+        if index_fingerprint(self.index_dir) != self._fp:
+            self.index_df.unpersist()
+            self._load()
 
     def topk(self, query: str, k: int = 10, mode: str = "maxscore",
              conjunctive: bool = False) -> DataFrame:
+        self._check_fresh()
         gdf = None
         if self._gdf is not None:
             qlemmas = sorted(set(analyze(query)))
@@ -254,13 +302,18 @@ class QueryEngine:
 
         from .builder import hash_bucket
 
+        self._check_fresh()
         qlemmas = sorted(set(analyze(query)))
         if not qlemmas:
             return []
-        # driver-side term cache: the index is immutable per engine instance,
-        # so a term's rows (postings bytes + blocks) are collected once and
-        # repeated terms cost no Spark job at all
+        # driver-side LRU term cache: index immutable per fingerprint, so a
+        # term's rows (postings bytes + blocks) are collected once and
+        # repeated terms cost no Spark job at all; bounded so the cache
+        # never grows O(vocabulary)
         fetch = [t for t in qlemmas if t not in self._term_cache]
+        for t in qlemmas:
+            if t in self._term_cache:
+                self._term_cache.move_to_end(t)
         if fetch:
             buckets = sorted({hash_bucket(x, self.meta["n_buckets"]) for x in fetch})
             fetched = (
@@ -272,6 +325,8 @@ class QueryEngine:
                 self._term_cache[t] = []
             for r in fetched:
                 self._term_cache[r["lemma"]].append(r)
+            while len(self._term_cache) > self._term_cache_size:
+                self._term_cache.popitem(last=False)
         rows = [r for t in qlemmas for r in self._term_cache.get(t, ())]
         if not rows:
             return []

@@ -15,10 +15,21 @@ avgdl is kept (``fixed_avgdl``): block-max upper bounds and query scores
 must share one avgdl or MaxScore pruning would lose its safety proof;
 a full rebuild refreshes it.
 
+Correctness under ADDS/REMOVES: doc_ids are global ranks of
+``(repo, path, commit)``, so an insert shifts every later id.
+``changed_segments`` therefore diffs the OLD ingested mapping against the
+NEW one distributedly (full-outer join on the key) and flags every segment
+containing an added, removed, rank-shifted, or content-changed id — under
+the index's PINNED seg_size (builder.py pins it in meta.json; a grown
+corpus appends segments, boundaries never move).  Only DISTINCT segment
+numbers ever reach the driver — never a per-doc collect (the round-1
+full-corpus ``collect()`` was a driver-OOM scale-killer).
+
 ``stream_ingest``: Structured Streaming front-door — ``readStream`` over a
 landing directory of doc parquet, ``foreachBatch`` merges each micro-batch
-into the docs store and triggers the incremental rebuild of exactly the
-touched segments.  ``availableNow`` drains the backlog and stops (batch
+into the docs store (stored INGESTED: doc_id + sha256 ride along so the
+next batch can diff without re-ranking the old corpus) and rebuilds exactly
+the dirty segments.  ``availableNow`` drains the backlog and stops (batch
 parity with the reference's on-demand endpoint; a continuous trigger is the
 same code path).
 """
@@ -40,16 +51,55 @@ def affected_segments(index_dir: str, changed_doc_ids: list[int]) -> list[int]:
     return sorted({int(d) // seg_size for d in changed_doc_ids})
 
 
+def changed_segments(old_ingested: DataFrame, new_ingested: DataFrame,
+                     seg_size: int) -> list[int]:
+    """Distributed old-vs-new diff -> segment numbers needing rebuild.
+
+    A segment is dirty iff it contains a doc_id that was added, removed,
+    rank-shifted, or whose (commit, sha256) changed — on EITHER side of the
+    diff (a doc that moved from segment 2 to segment 3 dirties both).
+    Shuffle cost: one join on (repo, path) + a distinct over <= 2·n_segments
+    values; driver cost: the distinct segment list only.
+    """
+    from pyspark.sql import functions as F
+
+    o = old_ingested.select(
+        "repo", "path",
+        F.col("commit").alias("_oc"), F.col("sha256").alias("_os"),
+        F.col("doc_id").alias("_oid"),
+    )
+    n = new_ingested.select(
+        "repo", "path",
+        F.col("commit").alias("_nc"), F.col("sha256").alias("_ns"),
+        F.col("doc_id").alias("_nid"),
+    )
+    dirty = o.join(n, ["repo", "path"], "full_outer").filter(
+        F.col("_oid").isNull()
+        | F.col("_nid").isNull()
+        | (F.col("_oid") != F.col("_nid"))
+        | (F.col("_os") != F.col("_ns"))
+        | (F.col("_oc") != F.col("_nc"))
+    )
+    segs = (
+        dirty.select(F.floor(F.col("_oid") / seg_size).alias("s"))
+        .unionByName(dirty.select(F.floor(F.col("_nid") / seg_size).alias("s")))
+        .filter(F.col("s").isNotNull())
+        .distinct()
+        .collect()
+    )
+    return sorted(int(r["s"]) for r in segs)
+
+
 def incremental_reindex(docs_ingested: DataFrame, index_dir: str,
                         changed_doc_ids: list[int]) -> list[int]:
     """Rebuild only the segments containing ``changed_doc_ids``.
 
     ``docs_ingested`` is the UPDATED corpus (post-upsert).  Returns the list
-    of rebuilt segments.  Assumes doc_ids are stable (deterministic rank of
-    (repo, path, commit) — corpus.ingest); a changed content at the same key
-    keeps its doc_id, an added/removed doc shifts ids after it, in which
-    case callers pass every shifted id (or simply rebuild all — the build is
-    checkpoint-resumable either way).
+    of rebuilt segments.  Caller contract: ``changed_doc_ids`` covers every
+    changed AND rank-shifted id (``changed_segments`` computes that set
+    distributedly; content-only edits keep their ids).  seg_size and avgdl
+    are pinned from meta.json — the builder derives the segment count from
+    the pinned size, so a grown corpus appends segments.
     """
     from ..index.builder import build_index
 
@@ -63,11 +113,7 @@ def incremental_reindex(docs_ingested: DataFrame, index_dir: str,
     build_index(
         docs_ingested,
         index_dir,
-        n_segments=meta["n_segments"],
-        salt=meta["salt"],
-        n_buckets=meta["n_buckets"],
-        block_size=meta["block_size"],
-        resume=True,
+        resume=True,  # seg_size/salt/buckets/block_size/avgdl pinned from meta
         fixed_avgdl=meta["avgdl"],
     )
     return segs
@@ -77,7 +123,7 @@ def stream_ingest(spark: SparkSession, landing_dir: str, docs_store: str,
                   index_dir: str, checkpoint_dir: str) -> None:
     """Structured-Streaming ingest: drain ``landing_dir`` (availableNow),
     merge each micro-batch into ``docs_store`` (latest commit wins), rebuild
-    the touched segments."""
+    exactly the dirty segments (rank-shift aware, no per-doc collect)."""
     from pyspark.sql import functions as F
 
     from ..corpus import ingest
@@ -92,8 +138,9 @@ def stream_ingest(spark: SparkSession, landing_dir: str, docs_store: str,
         if not batch_df.take(1):
             return
         store = pathlib.Path(docs_store)
-        if store.exists():
-            base = s.read.parquet(docs_store)
+        old_ing = s.read.parquet(docs_store) if store.exists() else None
+        if old_ing is not None:
+            base = old_ing.select("repo", "path", "commit", "lang", "content")
             w = Window.partitionBy("repo", "path").orderBy(F.desc("commit"))
             merged = (
                 base.unionByName(batch_df)
@@ -104,22 +151,38 @@ def stream_ingest(spark: SparkSession, landing_dir: str, docs_store: str,
         else:
             merged = batch_df
         tmp = docs_store + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)  # cannot overwrite own input
+        ingest(merged).write.mode("overwrite").parquet(tmp)
+        new_ing = s.read.parquet(tmp)
+
+        meta_p = pathlib.Path(f"{index_dir}/meta.json")
+        if meta_p.exists() and old_ing is not None and "doc_id" in old_ing.columns:
+            # diff BEFORE the store swap (old_ing reads the old files lazily)
+            with open(meta_p) as fh:
+                seg_size = json.load(fh)["seg_size"]
+            dirty = changed_segments(old_ing, new_ing, seg_size)
+        else:
+            dirty = None  # first build / legacy raw store: full rebuild
+
         shutil.rmtree(docs_store, ignore_errors=True)
         shutil.move(tmp, docs_store)
+        updated = s.read.parquet(docs_store)
 
-        updated = ingest(s.read.parquet(docs_store))
-        changed_keys = [(r["repo"], r["path"]) for r in batch_df.select("repo", "path").collect()]
-        changed_ids = [
-            r["doc_id"]
-            for r in updated.select("repo", "path", "doc_id").collect()
-            if (r["repo"], r["path"]) in set(changed_keys)
-        ]
-        if pathlib.Path(f"{index_dir}/meta.json").exists():
-            incremental_reindex(updated, index_dir, changed_ids)
+        if dirty is not None:
+            for seg in dirty:
+                p = pathlib.Path(f"{index_dir}/manifests/segment={seg}.json")
+                if p.exists():
+                    p.unlink()
+            from ..index.builder import build_index
+
+            with open(meta_p) as fh:
+                meta = json.load(fh)
+            build_index(updated, index_dir, resume=True, fixed_avgdl=meta["avgdl"])
         else:
             from ..index.builder import build_index
 
+            if meta_p.exists():
+                for p in pathlib.Path(f"{index_dir}/manifests").glob("segment=*.json"):
+                    p.unlink()
             build_index(updated, index_dir, n_segments=2)
 
     (

@@ -69,3 +69,39 @@ def test_block_random_access_independent():
     # decoding block 2 alone must not need blocks 0-1
     b_ids, _, _ = decode_block(enc, 2)
     assert b_ids.tolist() == ids[256:384].tolist()
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=10**7), min_size=1,
+                 max_size=300, unique=True),
+        min_size=1, max_size=20,
+    ),
+    st.sampled_from([4, 16, 128]),
+)
+@settings(max_examples=50, deadline=None)
+def test_batch_encoder_byte_identical(term_id_sets, block_size):
+    """encode_postings_many output is byte-identical to per-term
+    encode_postings (the merge stage relies on this for resume identity)."""
+    from searchengine_spark.index.codec import encode_postings_many
+
+    rng = np.random.default_rng(123)
+    terms = []
+    offsets = [0]
+    for ids in term_id_sets:
+        ids = np.sort(np.array(ids, dtype=np.int64))
+        tfs = rng.integers(1, 50, ids.size)
+        dls = rng.integers(1, 900, ids.size)
+        terms.append((ids, tfs, dls))
+        offsets.append(offsets[-1] + ids.size)
+    docs = np.concatenate([t[0] for t in terms])
+    tfs = np.concatenate([t[1] for t in terms])
+    dls = np.concatenate([t[2] for t in terms])
+    batch = encode_postings_many(docs, tfs, dls, np.array(offsets), 57.3,
+                                 block_size=block_size)
+    for t, (ids, tf, dl) in enumerate(terms):
+        single = encode_postings(ids, tf, dl, 57.3, block_size=block_size)
+        assert batch[t].docs == single.docs
+        assert batch[t].tfs == single.tfs
+        assert batch[t].dls == single.dls
+        assert batch[t].blocks == single.blocks

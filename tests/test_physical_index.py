@@ -183,12 +183,13 @@ def test_query_engine_fast_path_equals_distributed(spark, index_dir):
 
 
 def test_dictionary_artifact(spark, index_dir, logical_index):
-    """The build-time dict equals Σ df over segments per lemma."""
+    """The build-time dict (per-segment rows) sums to global df per lemma."""
     from pyspark.sql import functions as F
 
     tf, _ = logical_index
     d = spark.read.parquet(f"{index_dir}/dict")
-    got = {r["lemma"]: r["gdf"] for r in d.collect()}
+    got = {r["lemma"]: r["gdf"] for r in
+           d.groupBy("lemma").agg(F.sum("df").alias("gdf")).collect()}
     want = {r["lemma"]: r["n"] for r in
             tf.groupBy("lemma").agg(F.count("*").alias("n")).collect()}
     assert got == want
@@ -215,3 +216,33 @@ def test_segment_topk_unit():
     assert sc_e.tolist() == sc_m.tolist()
     # doc 9 (tf 4 + both terms) must beat doc 5 (1+1) and doc 1 (2)
     assert ids_e[0] == 9
+
+
+def test_query_engine_invalidates_on_rebuild(spark, docs, tmp_path):
+    """A live QueryEngine must not serve stale postings after an
+    incremental rebuild (index_fingerprint-driven cache invalidation)."""
+    from searchengine_spark.corpus import gen_corpus_local, ingest
+    from searchengine_spark.index.builder import build_index
+    from searchengine_spark.index.wand import QueryEngine
+    from searchengine_spark.schema import DOCS_SCHEMA
+    from searchengine_spark.streaming.incremental import incremental_reindex
+
+    rows = gen_corpus_local(120)
+    ing = ingest(spark.createDataFrame(rows, DOCS_SCHEMA))
+    out = str(tmp_path / "idx")
+    build_index(ing, out, n_segments=3, salt=2, n_buckets=4)
+
+    eng = QueryEngine(spark, out)
+    assert eng.topk_rows("zz_stale_marker", 5) == []
+
+    target = ing.filter("doc_id = 5").collect()[0]
+    rows2 = [
+        (r[0], r[1], r[2], r[3], r[4] + " zz_stale_marker")
+        if (r[0], r[1]) == (target["repo"], target["path"]) else r
+        for r in rows
+    ]
+    ing2 = ingest(spark.createDataFrame(rows2, DOCS_SCHEMA))
+    incremental_reindex(ing2, out, [5])
+
+    hits = eng.topk_rows("zz_stale_marker", 5)  # same engine instance
+    assert [d for d, _ in hits] == [5]
