@@ -31,11 +31,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin for each SQL-expressible query.
+    """DuckDB-runnable ANSI SQL twin for EVERY query (28/28).
 
-    Omitted (rows-only check): dedup_minhash_lsh, dedup_simhash,
-    ann_lsh_topk — their Spark-side xxhash64 hash family has no DuckDB
-    equivalent; each is instead verified in tests/ against an exact
-    brute-force oracle (Jaccard / cosine respectively).
+    The sketch operators use a portable md5-based universal hash family and
+    literal LSH hyperplanes so DuckDB runs the identical pipelines
+    value-for-value; the hourly window is compared in epoch microseconds.
     """
     return dict(ORACLE)

@@ -91,6 +91,75 @@ NORMAL_FORMS: dict[str, tuple[str, ...]] = {
     "geese": ("goose", "geese"),     # an ASCII multi-lemma case for tests
 }
 
+# --- optional normalizer: 'stem' (suffix stemmer) ---------------------------
+# A REAL normalizer exercising the pluggable analyzer slot (the slot the
+# reference fills with RussianLuceneMorphology, LemmaFinderImpl.java:49-60)
+# WITHOUT touching the pinned default — golden fixtures stay valid.  With
+# ``normalizer='stem'`` the exception-table stage is replaced by a
+# deterministic porter-lite suffix stripper; the pure-Python, Catalyst and
+# pandas executions below are asserted equal in tests/test_analyzer.py.
+#
+# Rules (first match wins; a rule only fires if the guard holds):
+#   1. -sses -> -ss
+#   2. -ies  -> -y
+#   3. -ing  -> ''   if len(token) >= 6
+#   4. -ed   -> ''   if len(token) >= 5
+#   5. -s    -> ''   unless token ends in -ss or -us
+#   6. otherwise unchanged
+
+
+def stem_token(tok: str) -> str:
+    if tok.endswith("sses"):
+        return tok[:-2]
+    if tok.endswith("ies"):
+        return tok[:-3] + "y"
+    if tok.endswith("ing") and len(tok) >= 6:
+        return tok[:-3]
+    if tok.endswith("ed") and len(tok) >= 5:
+        return tok[:-2]
+    if tok.endswith("s") and not tok.endswith("ss") and not tok.endswith("us"):
+        return tok[:-1]
+    return tok
+
+
+def stem_col(tok_col):
+    """Catalyst twin of :func:`stem_token` (whole-stage codegen, first
+    match wins via the when-chain)."""
+    from pyspark.sql import functions as F
+
+    c = tok_col
+    drop = lambda n: c.substr(F.lit(1), F.length(c) - n)  # noqa: E731
+    return (
+        F.when(c.endswith("sses"), F.concat(drop(4), F.lit("ss")))
+        .when(c.endswith("ies"), F.concat(drop(3), F.lit("y")))
+        .when(c.endswith("ing") & (F.length(c) >= 6), drop(3))
+        .when(c.endswith("ed") & (F.length(c) >= 5), drop(2))
+        .when(c.endswith("s") & ~c.endswith("ss") & ~c.endswith("us"), drop(1))
+        .otherwise(c)
+    )
+
+
+def stem_series(s):
+    """Vectorized pandas twin of :func:`stem_token`."""
+    import numpy as np
+
+    ln = s.str.len()
+    conds = [
+        s.str.endswith("sses"),
+        s.str.endswith("ies"),
+        s.str.endswith("ing") & (ln >= 6),
+        s.str.endswith("ed") & (ln >= 5),
+        s.str.endswith("s") & ~s.str.endswith("ss") & ~s.str.endswith("us"),
+    ]
+    outs = [
+        s.str[:-2],
+        s.str[:-3] + "y",
+        s.str[:-3],
+        s.str[:-2],
+        s.str[:-1],
+    ]
+    return s.where(~np.logical_or.reduce(conds), np.select(conds, outs, default=s))
+
 # --- pure-Python core (shared with tests/oracle.py) -------------------------
 
 _camel1_re = re.compile(_CAMEL_1[0])
@@ -98,8 +167,10 @@ _camel2_re = re.compile(_CAMEL_2[0])
 _strip_re = re.compile(_STRIP_PY)
 
 
-def analyze(text: str) -> list[str]:
-    """text -> lemma stream (with repetition), per the pinned definition."""
+def analyze(text: str, normalizer: str = "pinned") -> list[str]:
+    """text -> lemma stream (with repetition).  ``normalizer='pinned'`` is
+    the fixture contract (exception table); ``'stem'`` swaps in the suffix
+    stemmer (the pluggable-slot exercise)."""
     if not text:
         return []
     s = _camel1_re.sub(r"\1 \2", text)
@@ -109,7 +180,10 @@ def analyze(text: str) -> list[str]:
     for tok in s.split():
         if len(tok) < MIN_TOKEN_LEN or tok in STOP_WORDS:
             continue
-        out.extend(NORMAL_FORMS.get(tok, (tok,)))
+        if normalizer == "stem":
+            out.append(stem_token(tok))
+        else:
+            out.extend(NORMAL_FORMS.get(tok, (tok,)))
     return out
 
 
@@ -133,7 +207,8 @@ def _jvm_token_col(text_col):
 
 
 def tokenize_jvm(docs: DataFrame, text_col: str = "content",
-                 id_cols: str | list[str] = "doc_id") -> DataFrame:
+                 id_cols: str | list[str] = "doc_id",
+                 normalizer: str = "pinned") -> DataFrame:
     """(ids..., text) -> (ids..., lemma) one row per lemma occurrence.
 
     Entirely whole-stage-codegen: regexp_replace/lower/split/explode, a
@@ -153,6 +228,8 @@ def tokenize_jvm(docs: DataFrame, text_col: str = "content",
         .filter(F.length("token") >= MIN_TOKEN_LEN)
         .filter(~F.array_contains(stop_arr, F.col("token")))
     )
+    if normalizer == "stem":
+        return toks.select(*ids, stem_col(F.col("token")).alias("lemma"))
     if NORMAL_FORMS:
         exc = spark.createDataFrame(
             [(k, list(v)) for k, v in NORMAL_FORMS.items()], "token string, forms array<string>"
@@ -175,7 +252,8 @@ def tokenize_jvm(docs: DataFrame, text_col: str = "content",
 
 
 def tokenize_arrow(docs: DataFrame, text_col: str = "content",
-                   id_cols: str | list[str] = "doc_id") -> DataFrame:
+                   id_cols: str | list[str] = "doc_id",
+                   normalizer: str = "pinned") -> DataFrame:
     """Same contract as :func:`tokenize_jvm`, executed as a vectorized
     pandas/Arrow UDF (``mapInPandas``) — the BASELINE.json ``input_hint``
     shape, and the hook where a real (non-regex) analyzer would live.
@@ -207,6 +285,13 @@ def tokenize_arrow(docs: DataFrame, text_col: str = "content",
             flat = tokens.explode().dropna()
             keep = (flat.str.len() >= MIN_TOKEN_LEN) & ~flat.isin(STOP_WORDS)
             flat = flat[keep]
+            if normalizer == "stem":
+                yield (
+                    pdf[ids].reindex(flat.index)
+                    .assign(lemma=stem_series(flat).values)
+                    .reset_index(drop=True)
+                )
+                continue
             base = pdf[ids].reindex(flat.index)
             base = base.assign(lemma=flat.values)
             # multi-lemma expansion: exception tokens -> list of forms, explode

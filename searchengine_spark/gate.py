@@ -481,17 +481,108 @@ WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs verified by exact Jaccard (rows-only
-    check: Spark's xxhash64 has no DuckDB twin)."""
+    """MinHash+LSH candidate pairs verified by exact Jaccard.  The hash
+    family is the PORTABLE md5-based universal family (operators/dedup.py
+    module docstring), so the DuckDB oracle below runs the identical
+    pipeline value-for-value — full rows/schema/hash check."""
     return minhash_lsh_pairs(
         _load(spark, sf_dir, "documents"), "text", "doc_id",
         n=3, num_hashes=64, bands=16, threshold=0.2,
     )
 
 
+from .operators.dedup import MERSENNE_P, MINHASH_A, MINHASH_B  # noqa: E402
+
+_A_SQL = "[" + ", ".join(str(a) for a in MINHASH_A) + "]"
+_B_SQL = "[" + ", ".join(str(b) for b in MINHASH_B) + "]"
+
+SQL_DEDUP_MINHASH = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+  FROM d WHERE len(w) >= 3
+),
+sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle <> ''),
+base AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MERSENNE_P} AS x
+  FROM sh2
+),
+ab AS (SELECT {_A_SQL}::BIGINT[] AS a, {_B_SQL}::BIGINT[] AS b),
+hs AS (
+  SELECT doc_id, seed, min((a[seed + 1] * x + b[seed + 1]) % {MERSENNE_P}) AS h
+  FROM base, ab, range(64) t(seed)
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // 4 AS band,
+         string_agg(h::VARCHAR, ',' ORDER BY seed) AS bucket
+  FROM hs GROUP BY doc_id, seed // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                           AND a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list(DISTINCT shingle) AS s FROM sh2 GROUP BY doc_id),
+scored AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(sa.s, sb.s)) AS ni,
+         len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS nu
+  FROM cand
+  JOIN sets sa ON sa.doc_id = doc_a
+  JOIN sets sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, round(ni::DOUBLE / nu, 4) AS jaccard
+FROM scored WHERE round(ni::DOUBLE / nu, 4) >= 0.2
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs, hamming <= 3 (rows-only check)."""
+    """SimHash near-dup pairs, hamming <= 3 — portable 60-bit md5 hash, so
+    the DuckDB oracle computes the identical fingerprints."""
     return simhash_near_pairs(_load(spark, sf_dir, "documents"), "text", "doc_id", 3)
+
+
+_SIM_VOTES = ",\n         ".join(
+    f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+    for i in range(60)
+)
+_SIM_PACK = "\n           + ".join(
+    f"CASE WHEN v{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END"
+    for i in range(60)
+)
+
+SQL_DEDUP_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS t
+  FROM documents
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv FROM toks),
+v AS (
+  SELECT doc_id,
+         {_SIM_VOTES}
+  FROM h GROUP BY doc_id
+),
+f AS (
+  SELECT doc_id,
+         ({_SIM_PACK}) AS simhash
+  FROM v
+),
+e AS (
+  SELECT doc_id, simhash, i AS blk, (simhash >> (i * 15)::INT) & 32767 AS val
+  FROM f, range(4) t(i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM e a JOIN e b ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::INT AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
 
 
 # --- similarity search ------------------------------------------------------
@@ -528,7 +619,10 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate cosine top-10 (rows-only check)."""
+    """LSH-bucketed approximate cosine top-10.  The hyperplanes are
+    deterministic literals (seed 42), so the DuckDB oracle re-derives the
+    same sign-pattern buckets from the same plane constants — full value
+    check (the testdata embedding dim is pinned at 64)."""
     return lsh_topk(
         _load(spark, sf_dir, "embeddings"),
         _query_vec(spark, sf_dir),
@@ -536,6 +630,41 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_planes=6,
         exclude_id=0,
     )
+
+
+def _planes_sql(n_planes: int = 6, dim: int = 64, seed: int = 42) -> str:
+    """The exact hyperplane constants as a DuckDB DOUBLE[][] literal
+    (repr round-trips every float to the identical IEEE double)."""
+    from .operators.ann import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed)
+    return "[" + ", ".join(
+        "[" + ", ".join(repr(x) for x in p) + "]" for p in planes
+    ) + "]"
+
+
+_PLANES6 = _planes_sql(6)
+_BUCKET6 = " + ".join(
+    f"(CASE WHEN list_dot_product(embedding::DOUBLE[], pl[{i + 1}]) > 0 "
+    f"THEN {1 << i} ELSE 0 END)"
+    for i in range(6)
+)
+
+SQL_ANN_LSH = f"""
+WITH p AS (SELECT {_PLANES6}::DOUBLE[][] AS pl),
+b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e, ({_BUCKET6}) AS bucket
+  FROM embeddings, p
+),
+q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(e, q.qe)
+             / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(q.qe, q.qe))),
+             4) AS cos_sim
+FROM b, q
+WHERE b.bucket = q.qb AND vec_id <> 0
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
 
 
 # --- text analysis ----------------------------------------------------------
@@ -698,12 +827,30 @@ WHERE round(
 
 
 def q_embed_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed embedding near-dup (rows-only; recall vs exact tested
-    in pytest)."""
+    """LSH-bucketed embedding near-dup.  Deterministic literal hyperplanes
+    (seed 42) let the DuckDB oracle re-derive the same buckets — full value
+    check; recall vs exact additionally tested in pytest."""
     from .operators.ann import cosine_pairs_lsh
 
     return cosine_pairs_lsh(_load(spark, sf_dir, "embeddings"), threshold=0.35,
                             n_planes=6)
+
+
+SQL_EMBED_DEDUP_LSH = f"""
+WITH p AS (SELECT {_PLANES6}::DOUBLE[][] AS pl),
+b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e, ({_BUCKET6}) AS bucket
+  FROM embeddings, p
+)
+SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       round(list_dot_product(a.e, b2.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b2.e, b2.e))),
+             4) AS cos_sim
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE round(list_dot_product(a.e, b2.e)
+            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b2.e, b2.e))),
+            4) >= 0.35
+"""
 
 
 # --- sessionization (window functions over event time) ----------------------
@@ -768,17 +915,22 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time window aggregation over the events table —
     the batch twin of the Structured Streaming windowed agg (the same
     ``window()`` expression runs under readStream + watermark; parity is
-    tested in tests/test_incremental.py)."""
+    tested in tests/test_streaming_window.py).  The window start is emitted
+    as EPOCH MICROSECONDS (cast through timestamp like sessionize does) so
+    the DuckDB comparison is timezone-free — full value check."""
     ev = _load(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
-        .select(F.col("w.start").alias("hour"), "event_type", "n", "total")
+        .select(
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("hour_us"),
+            "event_type", "n", "total",
+        )
     )
 
 
 SQL_EVENTS_HOURLY = """
-SELECT date_trunc('hour', ts) AS hour, event_type,
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
        count(*)::BIGINT AS n, round(sum(value), 4) AS total
 FROM events GROUP BY 1, 2
 """
@@ -841,10 +993,13 @@ ORACLE: dict[str, str] = {
     "scalar_funcs": SQL_SCALAR_FUNCS,
     "embed_dedup_cosine": SQL_EMBED_DEDUP,
     "sessionize_events": SQL_SESSIONIZE,
-    # rows-only (hash functions have no DuckDB twin):
-    #   dedup_minhash_lsh, dedup_simhash, ann_lsh_topk
-    # rows-only (timestamp tz semantics differ between the driver's Spark
-    # session and DuckDB's naive reads; windowed-agg parity is instead
-    # proven stream-vs-batch in tests/test_streaming_window.py):
-    #   events_hourly_window
+    # r2: the five previously rows-only queries now have full value oracles —
+    # the sketch hash family is portable (md5-based universal hashing), the
+    # LSH hyperplanes are shared literals, and the hourly window is compared
+    # in epoch microseconds (tz-free):
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "ann_lsh_topk": SQL_ANN_LSH,
+    "embed_dedup_lsh": SQL_EMBED_DEDUP_LSH,
+    "events_hourly_window": SQL_EVENTS_HOURLY,
 }

@@ -9,22 +9,41 @@ dedup; the rest are first-class scale extensions:
                  shingle; the brute-force oracle for the sketch methods)
 - minhash_lsh    MinHash signatures + LSH banding: candidate pairs meet in
                  band buckets (equi-join on (band, bucket)) instead of an
-                 all-pairs cross join — the 100 TB path.  Deterministic: the
-                 k hash functions are ``xxhash64(shingle, seed=i)``.
-- simhash        64-bit SimHash fingerprints + hamming-distance candidate
-                 pairs bucketed by 16-bit blocks (index permutation trick).
+                 all-pairs cross join — the 100 TB path.
+- simhash        60-bit SimHash fingerprints + hamming-distance candidate
+                 pairs bucketed by 15-bit blocks (index permutation trick).
 
-All of it is built-in-function DataFrame code — no Python UDFs.
+Hash family (PORTABLE, engine-agnostic — lets the DuckDB gate oracle run
+the IDENTICAL pipeline value-for-value): base value of a string s is the
+first 15 hex chars of md5(s) as a 60-bit integer; the k MinHash functions
+are the classic universal family h_i(x) = (a_i·(x mod P) + b_i) mod P with
+P = 2^31 - 1 and seeded (a_i, b_i) — one md5 per string plus k
+multiply-mods, cheaper than k string hashes and exactly expressible in
+ANSI SQL.  All of it is built-in-function DataFrame code — no Python UDFs,
+every expression whole-stage codegen.
 """
 
 from __future__ import annotations
 
+import random
 from typing import TYPE_CHECKING
 
 from pyspark.sql import functions as F
 
 if TYPE_CHECKING:
-    from pyspark.sql import DataFrame
+    from pyspark.sql import Column, DataFrame
+
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+_rng = random.Random(1337)
+MINHASH_A = [_rng.randrange(1, MERSENNE_P) for _ in range(64)]
+MINHASH_B = [_rng.randrange(0, MERSENNE_P) for _ in range(64)]
+del _rng
+
+
+def md5_60bit_col(col: Column) -> Column:
+    """First 15 hex chars of md5 as a 60-bit BIGINT — the portable base
+    hash.  DuckDB twin: ``('0x' || substr(md5(x), 1, 15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def _shingle_col(text_col: str, n: int):
@@ -101,29 +120,41 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     )
 
 
-def minhash_signatures(docs: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", n: int = 3,
-                       num_hashes: int = 64) -> DataFrame:
-    """(id, sig: array<long>[num_hashes]) — sig[i] = min over shingles of
-    xxhash64(shingle, seed=i).  Deterministic, JVM-side, no UDFs.
+def _minhash_wide(docs: DataFrame, text_col: str, id_col: str, n: int,
+                  num_hashes: int) -> DataFrame:
+    """(id, _h0.._h{k-1}) — _hi = min over shingles of the portable
+    universal hash h_i (module docstring).  Deterministic, JVM-side.
 
     Shape matters: higher-order functions (transform/array_min) are
     INTERPRETED in Spark, so a nested seeds×shingles transform pays ~µs per
-    hash.  Instead the shingles are exploded and the signature is computed
-    as ``num_hashes`` plain ``min(xxhash64(shingle, i))`` aggregates — all
-    whole-stage codegen with map-side partial aggregation, one shuffle keyed
-    on the doc id (~15x faster at equal output)."""
-    sh = docs.select(
-        id_col, F.explode(_shingle_col(text_col, n)).alias("_shingle")
-    ).filter(F.col("_shingle") != "")
+    hash.  Instead the shingles are exploded, the 60-bit md5 base value is
+    computed ONCE per shingle row (a Project below the Aggregate — never
+    inlined into the agg expressions), and the signature is ``num_hashes``
+    plain ``min((a·x + b) % P)`` aggregates — whole-stage codegen with
+    map-side partial aggregation, one shuffle keyed on the doc id."""
+    # plain % (not pmod): every operand is non-negative, so dividend-sign %
+    # equals pmod at half the modulo ops — and matches DuckDB's % exactly
+    sh = (
+        docs.select(id_col, F.explode(_shingle_col(text_col, n)).alias("_shingle"))
+        .filter(F.col("_shingle") != "")
+        .select(id_col, (md5_60bit_col(F.col("_shingle")) % F.lit(MERSENNE_P)).alias("_x"))
+    )
     aggs = [
-        F.min(F.xxhash64(F.col("_shingle"), F.lit(i))).alias(f"_h{i}")
+        F.min((F.lit(MINHASH_A[i]) * F.col("_x") + F.lit(MINHASH_B[i]))
+              % F.lit(MERSENNE_P)).alias(f"_h{i}")
         for i in range(num_hashes)
     ]
-    return (
-        sh.groupBy(id_col)
-        .agg(*aggs)
-        .select(id_col, F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"))
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       num_hashes: int = 64) -> DataFrame:
+    """(id, sig: array<long>[num_hashes]) — packed view of
+    :func:`_minhash_wide`."""
+    wide = _minhash_wide(docs, text_col, id_col, n, num_hashes)
+    return wide.select(
+        id_col, F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig")
     )
 
 
@@ -140,36 +171,25 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     (band, bucket) — hot buckets are bounded by band width.
     """
     rows_per_band = num_hashes // bands
-    # materialize signatures: projection collapse would otherwise inline the
-    # 64-hash sig expression into EVERY band struct (16x recompute per row)
-    sigs = minhash_signatures(docs, text_col, id_col, n, num_hashes).cache()
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = sigs.select(
-        id_col,
-        F.explode(
-            F.transform(
-                band_idx,
-                lambda bidx: F.struct(
-                    bidx.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(
-                                    F.col("sig"), bidx * rows_per_band + 1, rows_per_band
-                                ),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
+    # materialize signatures before banding/self-join: projection collapse
+    # would otherwise inline the 64-hash expression into every band column
+    # on BOTH join sides (and the doubled tree falls out of codegen)
+    wide = _minhash_wide(docs, text_col, id_col, n, num_hashes).cache()
+    # band bucket = comma-joined signature slice (plain concat_ws over the
+    # wide columns — no interpreted higher-order functions anywhere)
+    band_structs = [
+        F.struct(
+            F.lit(bidx).alias("band"),
+            F.concat_ws(",", *[
+                F.col(f"_h{bidx * rows_per_band + j}").cast("string")
+                for j in range(rows_per_band)
+            ]).alias("bucket"),
+        )
+        for bidx in range(bands)
+    ]
+    banded = wide.select(
+        id_col, F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
-    # materialize before the self-join: otherwise both join sides re-derive
-    # the full 64-hash signature expression (and the doubled tree is too big
-    # for whole-stage codegen, falling back to slow interpreted eval)
-    banded = banded.cache()
     a = banded.select(F.col(id_col).alias("doc_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("doc_b"), "band", "bucket")
     cand = (
@@ -180,63 +200,60 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     )
     if not verify:
         return cand
-    # verify ONLY the candidate pairs: restrict shingle sets to docs that
-    # appear in some candidate pair (left-semi), then count common shingles
-    # per pair — avoids the all-pairs join the LSH existed to avoid.
+    # verify ONLY the candidate pairs, pairwise: restrict the corpus to docs
+    # appearing in some candidate pair (left-semi), keep each one's distinct
+    # shingle set as an ARRAY, join both sides to the pair list and compute
+    # exact Jaccard per pair via array_intersect — no shingle-explode
+    # self-join (the r1 verify's shuffles dominated the whole query).
     cand = cand.cache()
     cand_docs = (
         cand.select(F.col("doc_a").alias(id_col))
         .union(cand.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    sh = shingles(docs, text_col, id_col, n).join(
-        F.broadcast(cand_docs), id_col, "left_semi"
-    ).cache()
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .join(F.broadcast(cand), ["doc_a", "doc_b"], "left_semi")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+    sets = (
+        docs.join(cand_docs, id_col, "left_semi")
+        .select(id_col, F.array_distinct(_shingle_col(text_col, n)).alias("_sh"))
+        .select(id_col, F.array_remove(F.col("_sh"), "").alias("_sh"))
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sha"))
+    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_shb"))
+    inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
+    union = F.size(F.col("_sha")) + F.size(F.col("_shb")) - inter
     return (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4),
-        )
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
 
 
-def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash: long) — 64-bit SimHash over word tokens.
+SIMHASH_BITS = 60  # the portable base hash is 60 bits (15 hex chars of md5)
 
-    Per bit i: sum over tokens of ±1 by bit i of xxhash64(token); bit set if
-    the sum > 0.  Expressed with transform/aggregate/filter built-ins —
-    whole-stage codegen, no shuffle (narrow map)."""
-    # Explode tokens and run 64 plain conditional-sum aggregates over the
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash: long) — 60-bit SimHash over word tokens.
+
+    Per bit i: sum over tokens of ±1 by bit i of the portable 60-bit md5
+    hash (module docstring); bit set if the sum > 0.  The DuckDB gate
+    oracle computes the identical fingerprint in SQL."""
+    # Explode tokens and run 60 plain conditional-sum aggregates over the
     # token hash — nested higher-order functions would be interpreted
     # (µs/eval); this shape is whole-stage codegen with map-side combine.
     toks = docs.select(
         id_col,
         F.explode(F.expr(f"filter(split({text_col}, '\\\\s+'), t -> t <> '')")).alias("_t"),
-    ).select(id_col, F.xxhash64("_t").alias("_h"))
+    ).select(id_col, md5_60bit_col(F.col("_t")).alias("_h"))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"_v{i}")
-        for i in range(64)
+        for i in range(SIMHASH_BITS)
     ]
     agg = toks.groupBy(id_col).agg(*votes)
     packed = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(SIMHASH_BITS):
         packed = packed.bitwiseOR(
             F.when(F.col(f"_v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i))
             .otherwise(F.lit(0).cast("long"))
@@ -248,13 +265,13 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
     """Near-dup candidate pairs by SimHash hamming distance <= max_hamming.
 
-    Block trick: split the 64-bit fingerprint into 4 x 16-bit blocks; any
+    Block trick: split the 60-bit fingerprint into 4 x 15-bit blocks; any
     pair within hamming<=3 shares at least one exact block -> equi-join on
     (block_idx, block_value), then verify the true hamming distance with
     bit_count.  Avoids the all-pairs cross join at scale.
     """
     # materialize before the self-join (both sides would re-derive the
-    # 64-aggregate fingerprint plan otherwise)
+    # 60-aggregate fingerprint plan otherwise)
     sh = simhash64(docs, text_col, id_col).cache()
     exploded = sh.select(
         id_col,
@@ -262,7 +279,7 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
         F.explode(
             F.expr(
                 "transform(sequence(0, 3), i -> "
-                "struct(i AS blk, shiftright(simhash, i * 16) & 65535 AS val))"
+                "struct(i AS blk, shiftright(simhash, i * 15) & 32767 AS val))"
             )
         ).alias("b"),
     ).select(id_col, "simhash", "b.blk", "b.val")

@@ -12,10 +12,12 @@ SearchServiceImpl.java:231-264: a candidate page survives iff
 
 Jsoup ``.text()`` is identity for source-code content (SURVEY.md C6).
 
-Spark shape: candidates are few (post-AND), so we join content to them
-(broadcasting the candidate ids) and evaluate the predicate as ONE
-vectorized pandas UDF — per-word ``Series.str.find`` + a numpy sort/diff,
-no per-row Python.
+Spark shape: join content to the candidates and evaluate the predicate as
+ONE vectorized pandas UDF — per-word ``Series.str.find`` + a numpy
+sort/diff, no per-row Python.  The candidate side is deliberately NOT
+force-broadcast: for common query terms the post-AND candidate set is
+unbounded (not <=k), so the join strategy is left to AQE — only the final
+<=limit page join in operators/search.py broadcasts.
 """
 
 from __future__ import annotations
@@ -60,6 +62,6 @@ def proximity_filter(cand: DataFrame, docs: DataFrame, query: str,
         return proximity_ok_series(content, words, max_distance)
 
     with_content = docs.select("repo", "doc_id", "content").join(
-        F.broadcast(cand), ["repo", "doc_id"]
+        cand, ["repo", "doc_id"]
     )
     return with_content.filter(_ok(F.col("content"))).drop("content")

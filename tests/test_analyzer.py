@@ -77,3 +77,51 @@ def test_jvm_arrow_python_agree(spark, corpus_rows):
 def test_min_len_boundary():
     assert analyze("abcd abc") == ["abcd"]
     assert MIN_TOKEN_LEN == 4
+
+
+def test_stemmer_rules():
+    from searchengine_spark.analyzer import stem_token
+
+    assert stem_token("classes") == "class"   # -sses -> -ss
+    assert stem_token("addresses") == "address"
+    assert stem_token("queries") == "query"   # -ies -> -y
+    assert stem_token("parsing") == "pars"    # -ing
+    assert stem_token("sing") == "sing"       # -ing len guard
+    assert stem_token("parsed") == "pars"     # -ed
+    assert stem_token("used") == "used"       # -ed len guard
+    assert stem_token("tables") == "table"    # -s
+    assert stem_token("class") == "class"     # -ss protected
+    assert stem_token("status") == "status"   # -us protected
+    assert stem_token("value") == "value"
+
+
+def test_stem_analyzer_three_way_agree(spark, corpus_rows):
+    """The pluggable-normalizer slot, exercised with a REAL stemmer: the
+    pure-Python, Catalyst, and Arrow executions must agree exactly under
+    normalizer='stem' (its own fixture set — the pinned golden fixtures are
+    untouched)."""
+    from searchengine_spark.analyzer import stem_token
+    from searchengine_spark.schema import DOCS_SCHEMA
+
+    sample = corpus_rows[:60] + [
+        ("r", "p1", "c", "py", "parsing parsed queries addresses tables Sing"),
+        ("r", "p2", "c", "py", "classes class status buses using used"),
+    ]
+    df = spark.createDataFrame(sample, DOCS_SCHEMA).selectExpr(
+        "path as doc_key", "content"
+    )
+    jvm = Counter(
+        (r["doc_key"], r["lemma"])
+        for r in tokenize_jvm(df, id_cols="doc_key", normalizer="stem").collect()
+    )
+    arrow = Counter(
+        (r["doc_key"], r["lemma"])
+        for r in tokenize_arrow(df, id_cols="doc_key", normalizer="stem").collect()
+    )
+    pure = Counter()
+    for repo, path, commit, lang, content in sample:
+        for lemma in analyze(content, normalizer="stem"):
+            pure[(path, lemma)] += 1
+    assert jvm == pure
+    assert arrow == pure
+    assert any(k[1] == "pars" for k in pure)  # the stemmer actually fired

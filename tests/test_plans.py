@@ -79,3 +79,66 @@ def test_index_read_prunes_buckets(spark, tmp_path, docs):
     assert f"bucket#" in plan or "PartitionFilters" in plan
     rows = pruned.select("bucket").distinct().collect()
     assert [r["bucket"] for r in rows] == [bucket]
+
+
+def test_proximity_candidate_join_not_forced_broadcast(spark, docs):
+    """The pre-top-k candidate set is unbounded for common terms, so the
+    content join must leave strategy choice to AQE — no broadcast hint
+    (the <=limit final-page join in search() is the only forced one)."""
+    from searchengine_spark.operators.proximity import proximity_filter
+
+    # plain scans so the only hints in the plan would be the operator's own
+    # (the ingest lineage carries a legitimate tiny-offsets broadcast)
+    raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("source").alias("repo"), "doc_id", F.col("text").alias("content")
+    )
+    cand = raw.select("repo", "doc_id")  # stand-in unbounded candidate set
+    out = proximity_filter(cand, raw, "tamok velsor")
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+
+
+def test_multiprobe_lsh_recall(spark):
+    """Multi-probe LSH: strictly better recall than single-probe at a
+    bounded scan fraction, and >=0.9 recall in the near-dup regime the
+    sketch is designed for."""
+    from searchengine_spark.operators.ann import brute_force_topk, lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = [r["vec_id"] for r in
+             brute_force_topk(emb, q, 10, exclude_id=0).collect()]
+    multi = {r["vec_id"] for r in
+             lsh_topk(emb, q, 10, n_planes=6, exclude_id=0, n_probes=16).collect()}
+    single = {r["vec_id"] for r in
+              lsh_topk(emb, q, 10, n_planes=6, exclude_id=0, n_probes=1).collect()}
+    assert len(multi & set(exact)) > len(single & set(exact))
+    from searchengine_spark.operators.ann import (
+        hyperplanes, lsh_bucket_col, probe_buckets,
+    )
+
+    n = emb.count()
+    planes = hyperplanes(64, 6, 42)
+    probes = probe_buckets(q, planes, 16)
+    frac = (
+        emb.withColumn("_b", lsh_bucket_col(F.col("embedding"), planes))
+        .filter(F.col("_b").isin(probes)).count() / n
+    )
+    assert frac <= 0.35  # bounded scan: 16 of 64 buckets, not the table
+
+    # design regime: query = planted near-dup (source vector + small noise,
+    # cos ~0.99); the source must be retrieved with few probes >=9/10 times.
+    # (sf0.01's max pairwise cos is ~0.51 — weak-similarity top-k recall is
+    # information-theoretically poor for ANY sublinear sign-LSH there.)
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = {r["vec_id"]: np.array(r["embedding"], dtype="float64")
+            for r in emb.filter(F.col("vec_id") < 10).collect()}
+    hits = 0
+    for vid, v in base.items():
+        noisy = (v + 0.1 * np.linalg.norm(v) / 8 * rng.standard_normal(64)).tolist()
+        got = {r["vec_id"] for r in
+               lsh_topk(emb, noisy, 3, n_planes=6, n_probes=4).collect()}
+        hits += vid in got
+    assert hits >= 9
