@@ -735,6 +735,71 @@ FROM documents
 """
 
 
+# --- C6/C7 for HTML payloads: Jsoup .text()/.title() analog ------------------
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6+C7 for non-code corpora (SearchServiceImpl.java:191-192, 226-229 —
+    Jsoup .text()/.title()): wrap each doc in a deterministic HTML scaffold
+    (title, style, comment, script, entities) and extract text + title with
+    the pure-Catalyst regexp chain; DuckDB applies the identical chain."""
+    from .functions.html import html_text, html_title
+
+    docs = _load(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title> Doc &amp; "),
+        F.col("doc_id").cast("string"),
+        F.lit(" </title><style>p{color:red}</style></head><body><!-- note --><p>"),
+        F.substring("text", 1, 150),
+        F.lit("</p><script>var x = 1 < 2;</script></body></html>"),
+    )
+    return docs.select(
+        "doc_id",
+        html_title(html).alias("title"),
+        html_text(html).alias("body_text"),
+    )
+
+
+def _entity_chain_sql(expr: str) -> str:
+    from .functions.html import HTML_ENTITIES
+
+    out = expr
+    for ent, ch in HTML_ENTITIES:
+        out = f"replace({out}, '{ent}', '{ch.replace(chr(39), chr(39) * 2)}')"
+    return out
+
+
+def _strip_chain_sql(expr: str) -> str:
+    from .functions.html import HTML_STRIP_STEPS
+
+    out = expr
+    for pat, rep in HTML_STRIP_STEPS:
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+    return out
+
+
+SQL_HTML_EXTRACT = f"""
+WITH h AS (
+  SELECT doc_id,
+         '<html><head><title> Doc &amp; ' || doc_id::VARCHAR ||
+         ' </title><style>p{{color:red}}</style></head><body><!-- note --><p>' ||
+         substr(text, 1, 150) ||
+         '</p><script>var x = 1 < 2;</script></body></html>' AS html
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         {_strip_chain_sql("html")} AS t,
+         regexp_extract(html, '(?is)<title[^>]*>([^<]*)</title>', 1) AS ttl
+  FROM h
+)
+SELECT doc_id,
+       trim(regexp_replace({_entity_chain_sql("ttl")}, '\\s+', ' ', 'g')) AS title,
+       trim(regexp_replace({_entity_chain_sql("t")}, '\\s+', ' ', 'g')) AS body_text
+FROM s
+"""
+
+
 # --- U1-U3: set operations --------------------------------------------------
 
 
@@ -963,6 +1028,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_intersect": q_set_intersect,
     "set_union_distinct": q_set_union_distinct,
     "scalar_funcs": q_scalar_funcs,
+    "html_extract": q_html_extract,
     "events_hourly_window": q_events_hourly,
     "embed_dedup_cosine": q_embed_dedup,
     "embed_dedup_lsh": q_embed_dedup_lsh,
@@ -991,6 +1057,7 @@ ORACLE: dict[str, str] = {
     "set_intersect": SQL_SET_INTERSECT,
     "set_union_distinct": SQL_SET_UNION,
     "scalar_funcs": SQL_SCALAR_FUNCS,
+    "html_extract": SQL_HTML_EXTRACT,
     "embed_dedup_cosine": SQL_EMBED_DEDUP,
     "sessionize_events": SQL_SESSIONIZE,
     # r2: the five previously rows-only queries now have full value oracles —

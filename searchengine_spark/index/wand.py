@@ -134,6 +134,16 @@ def segment_topk(term_rows: list[dict], n_docs: int, avgdl: float, k: int,
     postings/tfs/dls/blocks for each query term present in the segment."""
     terms = [TermPostings(r["postings"], r["tfs"], r["dls"], r["blocks"], r["df"])
              for r in term_rows]
+    return segment_topk_terms(terms, n_docs, avgdl, k, k1, b, mode, conjunctive)
+
+
+def segment_topk_terms(terms: list[TermPostings], n_docs: int, avgdl: float,
+                       k: int, k1: float = 1.2, b: float = 0.75,
+                       mode: str = "maxscore",
+                       conjunctive: bool = False) -> tuple[np.ndarray, np.ndarray]:
+    """Same as :func:`segment_topk` over PREBUILT ``TermPostings`` — the
+    warm-serving path reuses cached objects so their lazily-decoded block
+    caches survive across queries (repeated terms never re-decode)."""
     idfs = [_idf(n_docs, t.df) for t in terms]
     if not terms:
         z = np.zeros(0, dtype=np.int64)
@@ -321,40 +331,50 @@ class QueryEngine:
                 .filter(F.col("lemma").isin(fetch))
                 .collect()
             )
-            for t in fetch:
-                self._term_cache[t] = []
+            by_lemma: dict[str, list] = {t: [] for t in fetch}
             for r in fetched:
-                self._term_cache[r["lemma"]].append(r)
+                by_lemma[r["lemma"]].append(r)
+            # cache DECODED TermPostings (global df baked in for idf): the
+            # lazily-decoded block caches then survive across queries, so a
+            # repeated term costs neither a Spark job nor a varbyte decode
+            for lemma, rs in by_lemma.items():
+                gdf = (self._gdf.get(lemma) if self._gdf is not None
+                       else sum(int(r["df"]) for r in rs)) or 0
+                self._term_cache[lemma] = [
+                    (
+                        lemma,
+                        int(r["segment"]),
+                        TermPostings(
+                            r["postings"], r["tfs"], r["dls"],
+                            [b.asDict() if hasattr(b, "asDict") else b
+                             for b in r["blocks"]],
+                            gdf,
+                        ),
+                        len(r["postings"]) + len(r["tfs"]) + len(r["dls"]),
+                    )
+                    for r in rs
+                ]
             while len(self._term_cache) > self._term_cache_size:
                 self._term_cache.popitem(last=False)
-        rows = [r for t in qlemmas for r in self._term_cache.get(t, ())]
-        if not rows:
+        entries = [e for t in qlemmas for e in self._term_cache.get(t, ())]
+        if not entries:
             return []
-        total = sum(len(r["postings"]) + len(r["tfs"]) + len(r["dls"]) for r in rows)
+        total = sum(nb for _, _, _, nb in entries)
         if total > local_threshold_bytes:
             out = self.topk(query, k, mode, conjunctive).collect()
             return [(r["doc_id"], r["score"]) for r in out]
-        gdf: dict[str, int] = {}
-        if self._gdf is not None:
-            gdf = {t: self._gdf[t] for t in qlemmas if t in self._gdf}
-        else:
-            for r in rows:
-                gdf[r["lemma"]] = gdf.get(r["lemma"], 0) + int(r["df"])
-        n_terms = len(gdf)
-        by_seg: dict[int, list[dict]] = {}
-        for r in rows:
-            by_seg.setdefault(int(r["segment"]), []).append(
-                {"df": gdf[r["lemma"]], "lemma": r["lemma"], "postings": r["postings"],
-                 "tfs": r["tfs"], "dls": r["dls"],
-                 "blocks": [b.asDict() if hasattr(b, "asDict") else b for b in r["blocks"]]}
-            )
+        n_terms = len({lemma for lemma, _, _, _ in entries})
+        by_seg: dict[int, list[tuple[str, TermPostings]]] = {}
+        for lemma, seg, tp, _ in entries:
+            by_seg.setdefault(seg, []).append((lemma, tp))
         merged: list[tuple[int, float]] = []
-        for seg_rows in by_seg.values():
-            if conjunctive and len({x["lemma"] for x in seg_rows}) < n_terms:
+        for seg_terms in by_seg.values():
+            if conjunctive and len({lm for lm, _ in seg_terms}) < n_terms:
                 continue
-            ids, scores = segment_topk(
-                seg_rows, self.meta["n_docs"], self.meta["avgdl"], k,
-                self.meta["k1"], self.meta["b"], mode, conjunctive,
+            ids, scores = segment_topk_terms(
+                [tp for _, tp in seg_terms], self.meta["n_docs"],
+                self.meta["avgdl"], k, self.meta["k1"], self.meta["b"],
+                mode, conjunctive,
             )
             merged.extend(zip(ids.tolist(), scores.tolist()))
         merged.sort(key=lambda t: (-t[1], t[0]))

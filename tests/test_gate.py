@@ -77,3 +77,30 @@ def test_embed_lsh_pairs_subset_of_exact(spark):
     assert set(lsh) <= set(exact)
     for k, v in lsh.items():
         assert v == exact[k]
+
+
+def test_html_text_and_title_units(spark):
+    """Jsoup-analog extraction edge cases (functions/html.py)."""
+    from searchengine_spark.functions.html import html_text, html_title
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("<html><head><title>A &amp; B</title></head>"
+         "<body><p>x<b>y</b>z</p><script>if(1<2){a();}</script></body></html>",),
+        ("<p>no title &lt;here&gt;   much\n space</p>",),
+        ("<style>h1 {color: blue}</style>text <!-- hidden -->after",),
+        ("plain text, no markup",),
+        ("",),
+    ]
+    df = spark.createDataFrame(rows, "html string")
+    got = df.select(
+        html_title(F.col("html")).alias("t"),
+        html_text(F.col("html")).alias("x"),
+    ).collect()
+    assert [(r["t"], r["x"]) for r in got] == [
+        ("A & B", "A & B x y z"),  # every tag is a separator (pinned subset)
+        ("", "no title <here> much space"),
+        ("", "text after"),
+        ("", "plain text, no markup"),
+        ("", ""),
+    ]
