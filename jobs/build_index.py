@@ -31,7 +31,10 @@ def main() -> None:
     ap.add_argument("--salt", type=int, default=8)
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--block-size", type=int, default=128)
-    ap.add_argument("--analyzer", choices=["jvm", "arrow"], default="jvm")
+    # arrow is the BASELINE.json input_hint shape (vectorized pandas/Arrow
+    # UDFs) and the faster path measured at every core count; jvm is the
+    # pure-Catalyst twin (tested equal)
+    ap.add_argument("--analyzer", choices=["jvm", "arrow"], default="arrow")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
@@ -48,7 +51,9 @@ def main() -> None:
         ap.error("need --input or --synthetic")
 
     t0 = time.perf_counter()
-    docs = ingest(raw).cache()
+    # localCheckpoint, not .cache(): the SQL cache's compressed-columnar
+    # re-scan into Arrow batches measured ~3x slower than checkpointed rows
+    docs = ingest(raw).localCheckpoint()
     n = docs.count()
     assert sha256_invariant_ok(docs), "sha256 per-row invariant violated"
 

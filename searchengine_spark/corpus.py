@@ -183,12 +183,16 @@ def corpus_df(spark: SparkSession, n_docs: int, seed: int = SEED,
 def ingest(docs: DataFrame, key_partitions: int | None = None) -> DataFrame:
     """Add ``doc_id`` (global rank of (repo, path, commit)) and ``sha256``.
 
-    Scale path: range-partition on the key, sort within partitions, then
-    ``row_number`` per partition (parallel window) + broadcast cumulative
-    offsets — equivalent to one global row_number without the single-
-    partition bottleneck (SURVEY.md §4 item 4).
+    Scale path: ONE range shuffle on the key, then a fully map-side rank
+    assignment — sort within partitions and add ``partition offset +
+    position`` via ``mapInArrow`` (a running counter across each
+    partition's Arrow batches; the content strings are never touched).
+    Equivalent to one global row_number with no single-partition
+    bottleneck (SURVEY.md §4 item 4) and, critically, no SECOND shuffle: a
+    ``Window.partitionBy`` re-shuffle here was getting AQE-coalesced into
+    ~64 MB chunks, silently capping every downstream map stage's
+    parallelism at 2-3 tasks regardless of core count.
     """
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     key = ["repo", "path", "commit"]
@@ -196,7 +200,7 @@ def ingest(docs: DataFrame, key_partitions: int | None = None) -> DataFrame:
     # MATERIALIZE the range partitioning once (localCheckpoint): the range
     # boundaries come from SAMPLING, so two separate jobs over the same
     # lineage can land rows in different partitions — the offsets job and
-    # the row_number job would then disagree and doc_ids would collide
+    # the assignment job would then disagree and doc_ids would collide
     # (observed at 40k docs).  Any single consistent partitioning yields
     # correct global ranks (boundaries only move partition edges, not key
     # order), so freezing one execution is sufficient.  At real scale this
@@ -213,15 +217,33 @@ def ingest(docs: DataFrame, key_partitions: int | None = None) -> DataFrame:
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    off_df = docs.sparkSession.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in ranged.schema.fields
     )
-    w = Window.partitionBy("_pid").orderBy(*key)
+
+    def _assign(batches):
+        import pyarrow as pa
+
+        seen = 0
+        base = None
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            if base is None:
+                pid = b.column(b.schema.get_field_index("_pid"))[0].as_py()
+                base = offsets[pid]
+            ids = pa.array(
+                range(base + seen, base + seen + b.num_rows), type=pa.int64()
+            )
+            seen += b.num_rows
+            yield b.append_column(pa.field("doc_id", pa.int64()), ids)
+
     out = (
-        ranged.join(F.broadcast(off_df), "_pid")
-        .withColumn("doc_id", F.row_number().over(w) + F.col("_off") - F.lit(1))
+        ranged.sortWithinPartitions(*key)
+        .mapInArrow(_assign, schema=f"{out_fields}, doc_id long")
         .withColumn("sha256", F.sha2(F.col("content"), 256))
-        .drop("_pid", "_off")
+        .drop("_pid")
     )
     return out
 

@@ -199,17 +199,22 @@ def build_index(
         tf = term_frequencies(analyzed, impl=analyzer_impl)
         dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
         stats = tf.join(dl, "doc_id")
-    # cache: both the avgdl action and the merge pipeline consume stats —
-    # without this the (expensive) analyzer stage runs twice per build
-    stats = stats.persist()
+    # MATERIALIZE stats once (localCheckpoint, not .cache()): both the avgdl
+    # action and the merge pipeline consume it, and the SQL cache's
+    # compressed-columnar form measured ~3x slower to re-scan into Arrow
+    # batches than checkpointed rows on this host.  At cluster scale this
+    # materialization is a staging write to durable storage.
+    stats = stats.localCheckpoint()
     timings["analyze_plan_s"] = round(_time.perf_counter() - _t, 2)
     _t = _time.perf_counter()
 
     if avgdl is None:
-        # avgdl over ALL docs (zero-lemma docs included) — matches the oracle
-        total_dl = (
-            stats.select("doc_id", "dl").distinct().agg(F.sum("dl")).collect()[0][0] or 0
-        )
+        # avgdl over ALL docs (zero-lemma docs included) — matches the oracle.
+        # Σ tf over every (doc, lemma) row == Σ dl over docs, so this is a
+        # pure map-side partial aggregation of the persisted stats — no
+        # distinct shuffle of the full posting stream (which at 160k docs
+        # was a measurable slice of the build).
+        total_dl = stats.agg(F.sum("tf")).collect()[0][0] or 0
         avgdl = float(total_dl) / n_docs if n_docs else 1.0
     timings["avgdl_s"] = round(__import__("time").perf_counter() - _t, 2)
     _t = __import__("time").perf_counter()

@@ -125,3 +125,20 @@ def test_stem_analyzer_three_way_agree(spark, corpus_rows):
     assert jvm == pure
     assert arrow == pure
     assert any(k[1] == "pars" for k in pure)  # the stemmer actually fired
+
+
+def test_doc_term_stats_arrow_equals_pandas(spark, corpus_rows):
+    """The mapInArrow (pyarrow compute) and mapInPandas executions of the
+    fused tf/dl stage must agree exactly — including multi-lemma expansion
+    and zero-lemma docs."""
+    from searchengine_spark.analyzer import doc_term_stats_arrow, doc_term_stats_pandas
+    from searchengine_spark.schema import DOCS_SCHEMA
+
+    df = spark.createDataFrame(corpus_rows[:80], DOCS_SCHEMA).selectExpr(
+        "repo", "abs(hash(path)) as doc_id", "content"
+    )
+    a = {(r["repo"], r["doc_id"], r["lemma"]): (r["tf"], r["dl"])
+         for r in doc_term_stats_arrow(df).collect()}
+    p = {(r["repo"], r["doc_id"], r["lemma"]): (r["tf"], r["dl"])
+         for r in doc_term_stats_pandas(df).collect()}
+    assert a == p and len(a) > 1000
