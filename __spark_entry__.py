@@ -31,7 +31,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin for EVERY query (28/28).
+    """DuckDB-runnable ANSI SQL twin for EVERY query in ``queries()``.
 
     The sketch operators use a portable md5-based universal hash family and
     literal LSH hyperplanes so DuckDB runs the identical pipelines

@@ -235,7 +235,8 @@ def build_index(
         json.dump(meta, fh, indent=1)
 
     if not missing:
-        stats.unpersist()
+        # (no unpersist: stats is localCheckpoint()'d, not persist()'d — its
+        # blocks are freed when the checkpointed RDD is driver-GC'd)
         return meta
 
     postings = (
@@ -387,7 +388,6 @@ def build_index(
             },
         )
     timings["manifests_s"] = round(_time.perf_counter() - _t, 2)
-    stats.unpersist()
     meta["timings"] = timings
     return meta
 

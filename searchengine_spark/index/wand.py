@@ -267,8 +267,11 @@ class QueryEngine:
         with open(f"{self.index_dir}/meta.json") as fh:
             self.meta = json.load(fh)
         self._fp = index_fingerprint(self.index_dir)
+        # LAZY cache: .cache() only marks the plan — bucket-pruned term reads
+        # warm exactly the partitions they touch.  An eager .count() here
+        # would materialize the WHOLE index (init cost + cluster cache
+        # pressure O(index)) — wrong default at 10^12 files.
         self.index_df = read_index(self.spark, self.index_dir).cache()
-        self.index_df.count()
         self._term_cache: OrderedDict[str, list] = OrderedDict()
         self._gdf: dict[str, int] | None = None
         if self._preload_dict:
@@ -354,7 +357,10 @@ class QueryEngine:
                     )
                     for r in rs
                 ]
-            while len(self._term_cache) > self._term_cache_size:
+            # never evict below the CURRENT query's working set: a query with
+            # more distinct lemmas than the cache bound would otherwise evict
+            # its own just-fetched terms before they're gathered below
+            while len(self._term_cache) > max(self._term_cache_size, len(qlemmas)):
                 self._term_cache.popitem(last=False)
         entries = [e for t in qlemmas for e in self._term_cache.get(t, ())]
         if not entries:

@@ -14,6 +14,7 @@ code is format-agnostic either way (DataSourceV2 handles both).
 
 from __future__ import annotations
 
+import logging
 from typing import TYPE_CHECKING
 
 from pyspark.sql import functions as F
@@ -29,7 +30,11 @@ def load_docs(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame
     if fmt == "iceberg":
         try:
             df = spark.read.format("iceberg").load(path)
-        except Exception:  # no catalog in sandbox — identical parquet layout
+        except Exception as exc:  # no catalog in sandbox — identical parquet layout
+            logging.getLogger(__name__).warning(
+                "iceberg read of %s failed (%s: %s); falling back to parquet "
+                "with the identical schema contract", path, type(exc).__name__, exc,
+            )
             df = spark.read.schema(DOCS_SCHEMA).parquet(path)
     else:
         df = spark.read.schema(DOCS_SCHEMA).parquet(path)

@@ -60,6 +60,12 @@ def changed_segments(old_ingested: DataFrame, new_ingested: DataFrame,
     diff (a doc that moved from segment 2 to segment 3 dirties both).
     Shuffle cost: one join on (repo, path) + a distinct over <= 2·n_segments
     values; driver cost: the distinct segment list only.
+
+    PRECONDITION: both sides hold at most ONE row per (repo, path) — the
+    docs-store contract (latest commit wins, enforced by the ingest window
+    dedup).  A multi-commit-per-path corpus would cross-match rows here and
+    over-flag dirty segments (extra rebuild cost, never wrong results);
+    dedupe on (repo, path) keeping max(commit) first if you have one.
     """
     from pyspark.sql import functions as F
 
