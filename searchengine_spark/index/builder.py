@@ -86,6 +86,31 @@ INDEX_OUT_SCHEMA = T.StructType(
 )
 
 
+def seg_ranges_filter(missing: list[int], seg_size: int):
+    """``doc_id``-range predicate equivalent to ``seg.isin(missing)`` but
+    PUSHABLE: ``floor(doc_id/seg_size) IN (...)`` is an expression parquet
+    can't evaluate against row-group stats, while ``doc_id >= lo AND
+    doc_id < hi`` prunes row groups — and the docs store writes its files
+    sorted by doc_id exactly so this filter skips them (store.py).
+    Contiguous missing segments collapse into single ranges."""
+    if not missing:
+        return F.lit(False)
+    runs: list[tuple[int, int]] = []
+    start = prev = missing[0]
+    for s in missing[1:]:
+        if s == prev + 1:
+            prev = s
+            continue
+        runs.append((start, prev))
+        start = prev = s
+    runs.append((start, prev))
+    cond = None
+    for lo, hi in runs:
+        c = (F.col("doc_id") >= lo * seg_size) & (F.col("doc_id") < (hi + 1) * seg_size)
+        cond = c if cond is None else (cond | c)
+    return cond
+
+
 def hash_bucket(lemma: str, n_buckets: int) -> int:
     """Deterministic, Python/JVM-agreeing bucket: first 4 bytes of md5, big
     endian (not Python's salted builtin hash).  The JVM twin is
@@ -186,7 +211,9 @@ def build_index(
 
     analyzed = narrow.select("repo", "doc_id", "content")
     if avgdl is not None and len(missing) < n_segments:
-        analyzed = analyzed.filter(seg_col.isin(missing))
+        # doc_id-range form of seg.isin(missing): pushed to the parquet scan
+        # (row-group pruning against doc_id-sorted store files)
+        analyzed = analyzed.filter(seg_ranges_filter(missing, seg_size))
 
     if analyzer_impl == "arrow":
         # fused Arrow analyzer: (tf, dl) computed entirely map-side in one
@@ -353,8 +380,8 @@ def build_index(
     # ---- manifests: one grouped agg per side, single job each -------------
     lineage = {
         r["segment"]: r
-        for r in narrow.withColumn("segment", seg_col)
-        .filter(F.col("segment").isin(missing))
+        for r in narrow.filter(seg_ranges_filter(missing, seg_size))
+        .withColumn("segment", seg_col)
         .groupBy("segment")
         .agg(
             F.count("*").alias("docs"),

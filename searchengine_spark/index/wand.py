@@ -44,7 +44,7 @@ class TermPostings:
     """Decoded-on-demand view over one term's compressed postings."""
 
     __slots__ = ("docs_b", "tfs_b", "dls_b", "first", "last", "n", "doc_off",
-                 "tf_off", "dl_off", "max_w", "df", "_cache")
+                 "tf_off", "dl_off", "max_w", "df", "_cache", "_full")
 
     def __init__(self, postings: bytes, tfs: bytes, dls: bytes, blocks, df: int):
         self.docs_b = np.frombuffer(postings, dtype=np.uint8)
@@ -61,6 +61,7 @@ class TermPostings:
         self.max_w = np.array([get(b, "max_weight", 6) for b in bl], dtype=np.float64)
         self.df = df
         self._cache: dict[int, tuple] = {}
+        self._full: tuple | None = None  # memoized decode_all result
 
     def _enc(self):
         blocks = list(zip(self.first, self.last, self.n, self.doc_off,
@@ -73,18 +74,40 @@ class TermPostings:
         return self._cache[i]
 
     def decode_all(self):
-        parts = [self.block(i) for i in range(self.first.size)]
-        if not parts:
-            z = np.zeros(0, dtype=np.int64)
-            return z, z, z
-        return tuple(np.concatenate([p[j] for p in parts]) for j in range(3))
+        if self._full is None:
+            parts = [self.block(i) for i in range(self.first.size)]
+            if not parts:
+                z = np.zeros(0, dtype=np.int64)
+                self._full = (z, z, z)
+            else:
+                self._full = tuple(
+                    np.concatenate([p[j] for p in parts]) for j in range(3)
+                )
+        return self._full
 
     def lookup(self, ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(tf, dl) aligned to sorted ``ids`` (0 where absent); decodes only
-        blocks whose [first_doc, last_doc] range intersects ``ids``."""
+        blocks whose [first_doc, last_doc] range intersects ``ids``.
+
+        Fully-decoded fast path: once every block is cached (pass 1 of any
+        query decoded the term, or enough partial lookups accumulated), one
+        vectorized searchsorted over the memoized concatenated arrays
+        replaces the per-block loop — the warm-serving profile showed the
+        per-block Python overhead (8+ numpy calls × blocks × terms)
+        dominating repeated-query latency."""
         tf_out = np.zeros(ids.size, dtype=np.int64)
         dl_out = np.zeros(ids.size, dtype=np.int64)
         if ids.size == 0 or self.first.size == 0:
+            return tf_out, dl_out
+        if self._full is None and len(self._cache) == self.first.size:
+            self.decode_all()  # all blocks cached: memoize the flat view
+        if self._full is not None:
+            a_ids, a_tfs, a_dls = self._full
+            pos = np.searchsorted(a_ids, ids)
+            pos[pos == a_ids.size] = 0  # any in-range index; masked below
+            hit = a_ids[pos] == ids
+            tf_out[hit] = a_tfs[pos[hit]]
+            dl_out[hit] = a_dls[pos[hit]]
             return tf_out, dl_out
         # candidate block index for each id: rightmost block with first<=id
         bi = np.searchsorted(self.first, ids, side="right") - 1
@@ -120,9 +143,17 @@ def _score_ids(ids: np.ndarray, terms: list[TermPostings], idfs: list[float],
 
 
 def _topk(ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """top-k by (score desc, doc_id asc) — deterministic."""
+    """top-k by (score desc, doc_id asc) — deterministic.
+
+    Large candidate sets are pre-cut with an O(n) partition on the kth
+    score (keeping EVERY candidate tied at the cut, so the id tie-break
+    stays exact) before the full lexsort runs on the survivors."""
     if ids.size == 0:
         return ids, scores
+    if ids.size > 4 * k:
+        kth = np.partition(scores, ids.size - k)[ids.size - k]
+        keep = scores >= kth  # >= keeps ties at the cut; excluded < kth
+        ids, scores = ids[keep], scores[keep]
     order = np.lexsort((ids, -scores))[: k]
     return ids[order], scores[order]
 

@@ -153,14 +153,74 @@ def probe_buckets(query_vec: list[float], planes: list[list[float]],
     return uniq[:n_probes]
 
 
+def write_embeddings_bucketed(emb: DataFrame, path: str,
+                              id_col: str = "vec_id", vec_col: str = "embedding",
+                              n_planes: int = 8, seed: int = 42,
+                              dim: int | None = None) -> None:
+    """Persist the embedding table partitioned by its LSH sign-pattern
+    bucket, plus a sidecar ``_lsh_meta.json`` pinning the hyperplanes.
+
+    This is the 100 TB serving layout for :func:`lsh_topk_bucketed`: a probe
+    reads ONLY the ``bucket=`` directories it targets (partition pruning at
+    the file listing — no scan, no per-row dot products to find the bucket).
+    The hyperplanes are pinned in the sidecar because bucket ids are only
+    meaningful under the exact planes that produced them."""
+    import json
+    import os
+
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    (
+        emb.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/data")
+    )
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/_lsh_meta.json", "w") as fh:
+        json.dump({"planes": planes, "n_planes": n_planes, "seed": seed,
+                   "dim": dim}, fh)
+
+
+def read_embeddings_probed(spark, path: str, probes: list[int]) -> DataFrame:
+    """Partition-pruned read of the probed ``bucket=`` dirs only
+    (tests/test_plans.py asserts the pruning reaches the scan)."""
+    return spark.read.parquet(f"{path}/data").filter(F.col("bucket").isin(probes))
+
+
+def lsh_topk_bucketed(spark, path: str, query_vec: list[float], k: int = 10,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      exclude_id: int | None = None,
+                      n_probes: int = 1) -> DataFrame:
+    """Approximate top-k over a :func:`write_embeddings_bucketed` table.
+
+    Unlike :func:`lsh_topk` (which recomputes every vector's bucket per
+    query — fine ad hoc, O(table) at scale), the probe here is a
+    partition-pruned scan of the probed buckets: cost O(N · probes /
+    buckets) rows read, zero bucket recomputation."""
+    import json
+
+    with open(f"{path}/_lsh_meta.json") as fh:
+        meta = json.load(fh)
+    planes = meta["planes"]
+    if len(query_vec) != meta["dim"]:
+        raise ValueError(f"query dim {len(query_vec)} != table dim {meta['dim']}")
+    probes = probe_buckets(query_vec, planes, n_probes)
+    cand = read_embeddings_probed(spark, path, probes)
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col, exclude_id)
+
+
 def lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_planes: int = 8, seed: int = 42,
              exclude_id: int | None = None, n_probes: int = 1) -> DataFrame:
     """LSH-bucketed approximate top-k: score only vectors whose sign pattern
     matches one of the query's probe buckets.  With B buckets a single probe
-    scans ~N/B candidates; at scale the table is written bucketBy(bucket) so
-    the probe is a partition-pruned scan.  ``n_probes > 1`` adds the
+    scans ~N/B candidates — but this ad-hoc form recomputes every vector's
+    bucket per query (a full scan); for repeated serving at scale use
+    :func:`write_embeddings_bucketed` + :func:`lsh_topk_bucketed`, where the
+    probe is a partition-pruned read.  ``n_probes > 1`` adds the
     lowest-margin flipped buckets (multi-probe), trading cost for recall —
     measured >=0.9 at 8 probes in tests/test_gate.py."""
     planes = hyperplanes(len(query_vec), n_planes, seed)

@@ -200,20 +200,18 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     )
     if not verify:
         return cand
-    # verify ONLY the candidate pairs, pairwise: restrict the corpus to docs
-    # appearing in some candidate pair (left-semi), keep each one's distinct
-    # shingle set as an ARRAY, join both sides to the pair list and compute
-    # exact Jaccard per pair via array_intersect — no shingle-explode
-    # self-join (the r1 verify's shuffles dominated the whole query).
-    cand = cand.cache()
-    cand_docs = (
-        cand.select(F.col("doc_a").alias(id_col))
-        .union(cand.select(F.col("doc_b").alias(id_col)))
-        .distinct()
-    )
+    # verify ONLY the candidate pairs, pairwise: each doc's distinct shingle
+    # set is a MAP-SIDE projection over the docs scan (no shuffle, no agg,
+    # no cache — recomputing a projection is cheaper than staging it), and
+    # exact Jaccard comes from array_intersect after joining both sides to
+    # the pair list.  The candidate side is tiny after banding, so AQE
+    # turns both joins into broadcasts at runtime (never forced — at 100 TB
+    # a pathological corpus could make it large, and then it must shuffle).
+    # r2 shape (cand cache + union-distinct cand_docs + left-semi) spent
+    # ~2 s of fixed per-stage overhead staging what these two joins prune
+    # for free.
     sets = (
-        docs.join(cand_docs, id_col, "left_semi")
-        .select(id_col, F.array_distinct(_shingle_col(text_col, n)).alias("_sh"))
+        docs.select(id_col, F.array_distinct(_shingle_col(text_col, n)).alias("_sh"))
         .select(id_col, F.array_remove(F.col("_sh"), "").alias("_sh"))
     )
     sa = sets.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sha"))

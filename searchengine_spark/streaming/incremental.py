@@ -27,11 +27,18 @@ full-corpus ``collect()`` was a driver-OOM scale-killer).
 
 ``stream_ingest``: Structured Streaming front-door — ``readStream`` over a
 landing directory of doc parquet, ``foreachBatch`` merges each micro-batch
-into the docs store (stored INGESTED: doc_id + sha256 ride along so the
-next batch can diff without re-ranking the old corpus) and rebuilds exactly
-the dirty segments.  ``availableNow`` drains the backlog and stops (batch
-parity with the reference's on-demand endpoint; a continuous trigger is the
-same code path).
+into the kb-partitioned docs store (``streaming/store.py``: only the kb
+partitions holding batch keys are read and rewritten; new keys get
+APPEND-ORDERED doc_ids so existing ids never rank-shift) and rebuilds
+exactly the dirty segments — O(batch + dirty) per micro-batch, never
+O(corpus).  ``availableNow`` drains the backlog and stops (batch parity
+with the reference's on-demand endpoint; a continuous trigger is the same
+code path).
+
+``changed_segments`` (the full old-vs-new diff) remains the general-purpose
+tool for GLOBAL-RANK mutations — e.g. after ``delete_repo`` or
+``compact_store``, where ids legitimately shift and the diff decides what
+to rebuild.  The streaming path no longer needs it.
 """
 
 from __future__ import annotations
@@ -128,68 +135,55 @@ def incremental_reindex(docs_ingested: DataFrame, index_dir: str,
 def stream_ingest(spark: SparkSession, landing_dir: str, docs_store: str,
                   index_dir: str, checkpoint_dir: str) -> None:
     """Structured-Streaming ingest: drain ``landing_dir`` (availableNow),
-    merge each micro-batch into ``docs_store`` (latest commit wins), rebuild
-    exactly the dirty segments (rank-shift aware, no per-doc collect)."""
-    from pyspark.sql import functions as F
-
-    from ..corpus import ingest
+    merge each micro-batch into the kb-partitioned ``docs_store`` (greatest
+    commit wins; touches ONLY the kb partitions holding batch keys — see
+    ``streaming/store.py``), rebuild exactly the dirty segments.  With
+    append-ordered doc_id allocation the dirty set is the in-place-updated
+    ids' segments plus the appended tail — nothing rank-shifts, so a batch
+    costs O(batch + dirty segments) regardless of corpus size."""
     from ..schema import DOCS_SCHEMA
+    from . import store as dstore
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        import shutil
-
-        from pyspark.sql import Window
-
         s = batch_df.sparkSession
         if not batch_df.take(1):
             return
-        store = pathlib.Path(docs_store)
-        old_ing = s.read.parquet(docs_store) if store.exists() else None
-        if old_ing is not None:
-            base = old_ing.select("repo", "path", "commit", "lang", "content")
-            w = Window.partitionBy("repo", "path").orderBy(F.desc("commit"))
-            merged = (
-                base.unionByName(batch_df)
-                .withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-            )
-        else:
-            merged = batch_df
-        tmp = docs_store + ".tmp"
-        ingest(merged).write.mode("overwrite").parquet(tmp)
-        new_ing = s.read.parquet(tmp)
+        from ..index.builder import build_index
 
         meta_p = pathlib.Path(f"{index_dir}/meta.json")
-        if meta_p.exists() and old_ing is not None and "doc_id" in old_ing.columns:
-            # diff BEFORE the store swap (old_ing reads the old files lazily)
-            with open(meta_p) as fh:
-                seg_size = json.load(fh)["seg_size"]
-            dirty = changed_segments(old_ing, new_ing, seg_size)
-        else:
-            dirty = None  # first build / legacy raw store: full rebuild
+        smeta = dstore.store_meta(docs_store)
 
-        shutil.rmtree(docs_store, ignore_errors=True)
-        shutil.move(tmp, docs_store)
-        updated = s.read.parquet(docs_store)
-
-        if dirty is not None:
-            for seg in dirty:
-                p = pathlib.Path(f"{index_dir}/manifests/segment={seg}.json")
-                if p.exists():
-                    p.unlink()
-            from ..index.builder import build_index
-
-            with open(meta_p) as fh:
-                meta = json.load(fh)
-            build_index(updated, index_dir, resume=True, fixed_avgdl=meta["avgdl"])
-        else:
-            from ..index.builder import build_index
-
+        if smeta is None:
+            # first batch — or a legacy flat-parquet store: migrate it once
+            legacy = pathlib.Path(docs_store)
+            first = batch_df
+            if legacy.exists() and any(legacy.glob("*.parquet")):
+                old = s.read.parquet(docs_store).select(
+                    "repo", "path", "commit", "lang", "content"
+                )
+                first = old.unionByName(batch_df)
+            dstore.init_store(first, docs_store)
             if meta_p.exists():
                 for p in pathlib.Path(f"{index_dir}/manifests").glob("segment=*.json"):
                     p.unlink()
-            build_index(updated, index_dir, n_segments=2)
+            build_index(dstore.read_store(s, docs_store), index_dir, n_segments=2)
+            return
+
+        if not meta_p.exists():
+            dstore.merge_batch(batch_df, docs_store)
+            build_index(dstore.read_store(s, docs_store), index_dir, n_segments=2)
+            return
+
+        with open(meta_p) as fh:
+            meta = json.load(fh)
+        summary = dstore.merge_batch(batch_df, docs_store,
+                                     seg_size=int(meta["seg_size"]))
+        for seg in summary["dirty_segments"]:
+            p = pathlib.Path(f"{index_dir}/manifests/segment={seg}.json")
+            if p.exists():
+                p.unlink()
+        build_index(dstore.read_store(s, docs_store), index_dir,
+                    resume=True, fixed_avgdl=meta["avgdl"])
 
     (
         spark.readStream.schema(DOCS_SCHEMA)

@@ -50,6 +50,7 @@ def test_incremental_rebuilds_only_touched_segment(spark, tmp_path):
 
 def test_stream_ingest_availablenow(spark, tmp_path):
     from searchengine_spark.streaming.incremental import stream_ingest
+    from searchengine_spark.streaming.store import read_store
 
     landing = tmp_path / "landing"
     landing.mkdir()
@@ -61,7 +62,7 @@ def test_stream_ingest_availablenow(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     stream_ingest(spark, str(landing) + "/*", store, idx, ckpt)
 
-    assert spark.read.parquet(store).count() == 30
+    assert read_store(spark, store).count() == 30
     assert read_manifest(idx, 0) is not None
     n_terms_1 = read_index(spark, idx).count()
     assert n_terms_1 > 0
@@ -69,7 +70,7 @@ def test_stream_ingest_availablenow(spark, tmp_path):
     # second micro-batch: 10 more docs drained by a fresh availableNow run
     spark.createDataFrame(rows[30:], DOCS_SCHEMA).write.parquet(str(landing / "b1"))
     stream_ingest(spark, str(landing) + "/*", store, idx, ckpt)
-    assert spark.read.parquet(store).count() == 40
+    assert read_store(spark, store).count() == 40
 
 
 def test_changed_segments_rank_shift(spark, tmp_path):
@@ -100,13 +101,38 @@ def test_changed_segments_rank_shift(spark, tmp_path):
     assert changed_segments(old, new_same, seg_size=20) == []
 
 
+def _surface_by_key(spark, index_dir, id_to_key):
+    """Per-lemma {(repo, path), tf} sets — the id-representation-independent
+    postings surface (append-ordered ids legitimately differ from a fresh
+    build's dense ranks, so surfaces compare via each corpus' own id->key
+    mapping)."""
+    from searchengine_spark.index.wand import TermPostings
+
+    out: dict[str, set] = {}
+    for r in read_index(spark, index_dir).collect():
+        tp = TermPostings(bytes(r["postings"]), bytes(r["tfs"]),
+                          bytes(r["dls"]), r["blocks"], r["df"])
+        ids, tfs, _ = tp.decode_all()
+        out.setdefault(r["lemma"], set()).update(
+            (id_to_key[i], t) for i, t in zip(ids.tolist(), tfs.tolist()))
+    return out
+
+
+def _id_key_map(df):
+    return {r["doc_id"]: (r["repo"], r["path"])
+            for r in df.select("doc_id", "repo", "path").collect()}
+
+
 def test_stream_ingest_additive_batch_index_correct(spark, tmp_path):
     """The ADVICE r1 scenario: an additive micro-batch grows the corpus
     (30 -> 40 docs).  seg_size must stay PINNED (segments appended, not
-    resized), rank-shifted docs must be re-indexed, and the final index
-    must equal a from-scratch build over the merged corpus — checked by
-    querying it and by comparing the full postings surface."""
+    resized), and the final index must carry exactly the postings of a
+    from-scratch build over the merged corpus — compared through each
+    side's own doc_id -> (repo, path) mapping, because append-ordered
+    allocation (by design) numbers batch-2 keys after batch-1 keys while a
+    fresh build ranks all 40 globally."""
     from searchengine_spark.streaming.incremental import stream_ingest
+    from searchengine_spark.streaming.store import read_store
 
     landing = tmp_path / "landing"
     landing.mkdir()
@@ -125,32 +151,165 @@ def test_stream_ingest_additive_batch_index_correct(spark, tmp_path):
         meta = json.load(fh)
     assert meta["seg_size"] == seg_size_1  # pinned across the grow
     assert meta["n_docs"] == 40
-    assert spark.read.parquet(store).count() == 40
+    stored = read_store(spark, store)
+    assert stored.count() == 40
+    # ids stay dense under adds (0..39), batch-1 ids unchanged
+    got_ids = sorted(r["doc_id"] for r in stored.select("doc_id").collect())
+    assert got_ids == list(range(40))
 
-    # the incremental index must carry EXACTLY the postings of a fresh
-    # build over the merged corpus (same doc_ids: ingest is deterministic).
-    # Segment boundaries legitimately differ (pinned seg_size 15 vs a fresh
-    # ceil(40/2)=20), so compare the LOGICAL surface: decoded per-lemma
-    # (doc_id, tf) sets across all segments.
     fresh_dir = str(tmp_path / "fresh")
     merged = ingest(spark.createDataFrame(rows, DOCS_SCHEMA))
     build_index(merged, fresh_dir, n_segments=2, resume=False)
 
-    def surface(d):
-        from searchengine_spark.index.wand import TermPostings
+    inc_surface = _surface_by_key(spark, idx, _id_key_map(stored))
+    fresh_surface = _surface_by_key(spark, fresh_dir, _id_key_map(merged))
+    assert inc_surface == fresh_surface
 
-        out: dict[str, set] = {}
-        for r in read_index(spark, d).collect():
-            tp = TermPostings(bytes(r["postings"]), bytes(r["tfs"]),
-                              bytes(r["dls"]), r["blocks"], r["df"])
-            ids, tfs, _ = tp.decode_all()
-            out.setdefault(r["lemma"], set()).update(
-                zip(ids.tolist(), tfs.tolist()))
-        return out
-
-    assert surface(idx) == surface(fresh_dir)
-
-    # and it answers queries over docs from BOTH batches
-    hits = {r["doc_id"] for r in bm25_topk(spark, idx, "kw_rare_xyzzy", 10).collect()}
-    fresh_hits = {r["doc_id"] for r in bm25_topk(spark, fresh_dir, "kw_rare_xyzzy", 10).collect()}
+    # and it answers queries over docs from BOTH batches (same result KEYS)
+    inc_map, fresh_map = _id_key_map(stored), _id_key_map(merged)
+    hits = {inc_map[r["doc_id"]] for r in
+            bm25_topk(spark, idx, "kw_rare_xyzzy", 10).collect()}
+    fresh_hits = {fresh_map[r["doc_id"]] for r in
+                  bm25_topk(spark, fresh_dir, "kw_rare_xyzzy", 10).collect()}
     assert hits == fresh_hits and hits
+
+
+def test_stream_second_batch_store_write_is_o_batch(spark, tmp_path):
+    """r2 VERDICT item 1 'Done' criterion: the second micro-batch's store
+    write must touch ONLY the kb partitions containing batch keys — every
+    parquet file in an unaffected kb directory survives byte-identical
+    (same path, size, mtime)."""
+    import pathlib as pl
+
+    from searchengine_spark.streaming.incremental import stream_ingest
+    from searchengine_spark.streaming.store import (
+        DEFAULT_N_KB, read_store, store_meta,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rows = gen_corpus_local(60)
+    spark.createDataFrame(rows[:50], DOCS_SCHEMA).write.parquet(str(landing / "b0"))
+    store = str(tmp_path / "store")
+    idx = str(tmp_path / "sidx")
+    stream_ingest(spark, str(landing) + "/*", store, idx, str(tmp_path / "ckpt"))
+
+    def snapshot():
+        return {
+            str(p): (p.stat().st_size, p.stat().st_mtime_ns)
+            for p in pl.Path(store, "data").rglob("*.parquet")
+        }
+
+    before = snapshot()
+
+    batch2 = rows[50:]
+    spark.createDataFrame(batch2, DOCS_SCHEMA).write.parquet(str(landing / "b1"))
+    stream_ingest(spark, str(landing) + "/*", store, idx, str(tmp_path / "ckpt"))
+
+    # affected kbs = xxhash64 buckets of the 10 batch keys
+    from pyspark.sql import functions as F
+    affected = {
+        r["kb"] for r in spark.createDataFrame(batch2, DOCS_SCHEMA).select(
+            F.pmod(F.xxhash64("repo", "path"), F.lit(DEFAULT_N_KB))
+            .cast("int").alias("kb")
+        ).distinct().collect()
+    }
+    after = snapshot()
+    touched_dirs = {
+        pl.Path(p).parent.name
+        for p in (set(after) - set(before))
+        | {p for p in before if p not in after or after[p] != before[p]}
+    }
+    assert touched_dirs  # something was written
+    assert touched_dirs <= {f"kb={k}" for k in affected}
+    # and every unaffected kb file survived byte-identical
+    for p, sig in before.items():
+        if pl.Path(p).parent.name not in touched_dirs:
+            assert after.get(p) == sig
+    assert read_store(spark, store).count() == 60
+    assert store_meta(store)["n_docs"] == 60
+
+
+def test_append_ids_bound_rebuild_blast_radius(spark, tmp_path):
+    """r2 VERDICT item 2 'Done' criterion: an additive mid-key-space batch
+    plus one content update dirties exactly (touched + appended) segments —
+    nothing rank-shifts, untouched manifests survive byte-identical."""
+    from searchengine_spark.streaming.store import (
+        init_store, merge_batch, read_store,
+    )
+
+    rows = gen_corpus_local(60)
+    store = str(tmp_path / "store")
+    init_store(spark.createDataFrame(rows, DOCS_SCHEMA), store)
+    idx = str(tmp_path / "idx")
+    build_index(read_store(spark, store), idx, n_segments=3, resume=False)
+    before = {m["segment"]: m for m in all_manifests(idx)}
+    assert sorted(before) == [0, 1, 2]
+    with open(f"{idx}/meta.json") as fh:
+        seg_size = json.load(fh)["seg_size"]  # 20
+
+    # one NEW mid-key-space doc (sorts before most existing keys) + one
+    # content UPDATE of an existing early doc
+    target = rows[3]
+    batch = [
+        ("org0/proj0", "src/aaa/mid_key_insert.py", "c" * 40, "py",
+         "zznewmarker alpha beta gamma delta"),
+        (target[0], target[1], target[2], target[3],
+         target[4] + " zzupdatemarker"),
+    ]
+    summary = merge_batch(spark.createDataFrame(batch, DOCS_SCHEMA), store,
+                          seg_size=seg_size)
+    assert summary["n_new"] == 1
+    # appended tail: new id 60 -> segment 3 ONLY (no rank shift anywhere)
+    assert summary["appended_segments"] == [3]
+    # the updated doc kept its id; exactly its segment is dirty
+    assert len(summary["updated_segments"]) == 1
+    assert summary["dirty_segments"] == sorted(
+        set(summary["updated_segments"]) | {3}
+    )
+
+    # rebuild only the dirty segments; the other manifests stay identical
+    from searchengine_spark.streaming.incremental import incremental_reindex
+
+    with open(f"{idx}/meta.json") as fh:
+        avgdl = json.load(fh)["avgdl"]
+    for s in summary["dirty_segments"]:
+        p = tmp_path / "idx" / "manifests" / f"segment={s}.json"
+        if p.exists():
+            p.unlink()
+    build_index(read_store(spark, store), idx, resume=True, fixed_avgdl=avgdl)
+    _ = incremental_reindex  # (same path the streaming front-door takes)
+
+    after = {m["segment"]: m for m in all_manifests(idx)}
+    assert sorted(after) == [0, 1, 2, 3]
+    for s, m in before.items():
+        if s not in summary["dirty_segments"]:
+            assert after[s] == m
+
+    # both markers findable; the new doc's and updated doc's postings exist
+    new_hits = bm25_topk(spark, idx, "zznewmarker", 5).collect()
+    upd_hits = bm25_topk(spark, idx, "zzupdatemarker", 5).collect()
+    assert [r["doc_id"] for r in new_hits] == [60]
+    assert len(upd_hits) == 1
+
+
+def test_compact_store_restores_dense_global_ranks(spark, tmp_path):
+    """After appends diverge from key order, compaction re-ranks densely to
+    the fresh-ingest order (then any index must be fully rebuilt)."""
+    from searchengine_spark.streaming.store import (
+        compact_store, init_store, merge_batch, read_store,
+    )
+
+    rows = gen_corpus_local(30)
+    store = str(tmp_path / "store")
+    init_store(spark.createDataFrame(rows[:20], DOCS_SCHEMA), store)
+    merge_batch(spark.createDataFrame(rows[20:], DOCS_SCHEMA), store)
+    meta = compact_store(spark, store)
+    assert meta["n_docs"] == 30 and meta["max_doc_id"] == 29
+
+    fresh = ingest(spark.createDataFrame(rows, DOCS_SCHEMA))
+    want = {(r["repo"], r["path"]): r["doc_id"]
+            for r in fresh.select("repo", "path", "doc_id").collect()}
+    got = {(r["repo"], r["path"]): r["doc_id"]
+           for r in read_store(spark, store).select("repo", "path", "doc_id").collect()}
+    assert got == want

@@ -98,6 +98,38 @@ def test_proximity_candidate_join_not_forced_broadcast(spark, docs):
     assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
 
 
+def test_bucketed_embeddings_probe_prunes_partitions(spark, tmp_path):
+    """A probe against the persisted bucketed embedding table must read ONLY
+    the probed bucket= directories (partition pruning at the file listing)
+    and return exactly what the ad-hoc recompute-everything path returns."""
+    from searchengine_spark.operators.ann import (
+        hyperplanes, lsh_topk, lsh_topk_bucketed, probe_buckets,
+        read_embeddings_probed, write_embeddings_bucketed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    path = str(tmp_path / "emb_lsh")
+    write_embeddings_bucketed(emb, path, n_planes=6, seed=42)
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    probes = probe_buckets(q, hyperplanes(64, 6, 42), 4)
+
+    pruned = read_embeddings_probed(spark, path, probes)
+    # 1. the scan's partition filter prunes: every input file lives under a
+    #    probed bucket= dir
+    files = [r[0] for r in pruned.select(F.input_file_name()).distinct().collect()]
+    assert files and all(
+        any(f"bucket={p}/" in f for p in probes) for f in files
+    )
+    assert "PartitionFilters" in _plan(pruned)
+    # 2. result parity with the ad-hoc path (same planes/probes)
+    got = [(r["vec_id"], r["cos_sim"]) for r in
+           lsh_topk_bucketed(spark, path, q, 10, exclude_id=3, n_probes=4).collect()]
+    want = [(r["vec_id"], r["cos_sim"]) for r in
+            lsh_topk(emb, q, 10, n_planes=6, exclude_id=3, n_probes=4).collect()]
+    assert got == want and got
+
+
 def test_multiprobe_lsh_recall(spark):
     """Multi-probe LSH: strictly better recall than single-probe at a
     bounded scan fraction, and >=0.9 recall in the near-dup regime the
