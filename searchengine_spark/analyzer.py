@@ -170,18 +170,29 @@ _strip_re = re.compile(_STRIP_PY)
 def analyze(text: str, normalizer: str = "pinned") -> list[str]:
     """text -> lemma stream (with repetition).  ``normalizer='pinned'`` is
     the fixture contract (exception table); ``'stem'`` swaps in the suffix
-    stemmer (the pluggable-slot exercise)."""
+    stemmer (the pluggable-slot exercise); ``'porter'`` the full five-step
+    Porter stemmer (functions/porter.py — the slot's complete English
+    normalizer, standing in for the reference's
+    LemmaFinderImpl.java:49-60 morphology)."""
     if not text:
         return []
     s = _camel1_re.sub(r"\1 \2", text)
     s = _camel2_re.sub(r"\1 \2", s)
     s = _strip_re.sub(" ", s.lower())
     out: list[str] = []
+    if normalizer == "porter":
+        from .functions.porter import porter_stem
+
+        norm = porter_stem
+    elif normalizer == "stem":
+        norm = stem_token
+    else:
+        norm = None
     for tok in s.split():
         if len(tok) < MIN_TOKEN_LEN or tok in STOP_WORDS:
             continue
-        if normalizer == "stem":
-            out.append(stem_token(tok))
+        if norm is not None:
+            out.append(norm(tok))
         else:
             out.extend(NORMAL_FORMS.get(tok, (tok,)))
     return out
@@ -230,6 +241,22 @@ def tokenize_jvm(docs: DataFrame, text_col: str = "content",
     )
     if normalizer == "stem":
         return toks.select(*ids, stem_col(F.col("token")).alias("lemma"))
+    if normalizer == "porter":
+        # vocabulary normalization: stem each DISTINCT token once (a tiny
+        # mapInPandas over the deduped vocabulary), join the mapping back to
+        # the token stream.  O(vocabulary) normalizer work regardless of
+        # corpus size; the mapping side is small, AQE broadcasts it.
+        from .functions.porter import porter_series
+
+        def _stem_vocab(it):
+            for pdf in it:
+                pdf["lemma"] = porter_series(pdf["token"])
+                yield pdf
+
+        vocab = toks.select("token").distinct().mapInPandas(
+            _stem_vocab, schema="token string, lemma string"
+        )
+        return toks.join(vocab, "token").select(*ids, "lemma")
     if NORMAL_FORMS:
         exc = spark.createDataFrame(
             [(k, list(v)) for k, v in NORMAL_FORMS.items()], "token string, forms array<string>"
@@ -285,10 +312,14 @@ def tokenize_arrow(docs: DataFrame, text_col: str = "content",
             flat = tokens.explode().dropna()
             keep = (flat.str.len() >= MIN_TOKEN_LEN) & ~flat.isin(STOP_WORDS)
             flat = flat[keep]
-            if normalizer == "stem":
+            if normalizer in ("stem", "porter"):
+                if normalizer == "porter":
+                    from .functions.porter import porter_series as _norm
+                else:
+                    _norm = stem_series
                 yield (
                     pdf[ids].reindex(flat.index)
-                    .assign(lemma=stem_series(flat).values)
+                    .assign(lemma=_norm(flat).values)
                     .reset_index(drop=True)
                 )
                 continue

@@ -163,15 +163,22 @@ def build_index(
         with open(f"{out_dir}/meta.json") as fh:
             old_meta = json.load(fh)
 
-    n_docs = narrow.count()
+    # n_docs (the BM25 idf/avgdl base) is the ROW count; the segment span
+    # derives from max(doc_id)+1 — they differ once deletes leave id holes
+    # (streaming/store.py delete_keys): a hole must not shrink the segment
+    # range or the stale-segment cleanup below would drop live tail
+    # segments.  Dense corpora: span == n_docs, behavior unchanged.
+    _c = narrow.agg(F.count("*").alias("n"), F.max("doc_id").alias("mx")).collect()[0]
+    n_docs = int(_c["n"])
+    id_span = (int(_c["mx"]) + 1) if _c["mx"] is not None else 0
     if old_meta is not None:
         seg_size = int(old_meta["seg_size"])
         salt = int(old_meta["salt"])
         n_buckets = int(old_meta["n_buckets"])
         block_size = int(old_meta["block_size"])
-        n_segments = max(1, math.ceil(n_docs / seg_size))
+        n_segments = max(1, math.ceil(id_span / seg_size))
     else:
-        seg_size = max(1, math.ceil(n_docs / n_segments))
+        seg_size = max(1, math.ceil(id_span / n_segments))
     seg_col = (F.col("doc_id") / seg_size).cast("int")
 
     # corpus shrank: doc ranges beyond the new segment count are stale

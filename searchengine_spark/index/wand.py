@@ -150,7 +150,7 @@ def _topk(ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.n
     stays exact) before the full lexsort runs on the survivors."""
     if ids.size == 0:
         return ids, scores
-    if ids.size > 4 * k:
+    if k > 0 and ids.size > 4 * k:
         kth = np.partition(scores, ids.size - k)[ids.size - k]
         keep = scores >= kth  # >= keeps ties at the cut; excluded < kth
         ids, scores = ids[keep], scores[keep]

@@ -214,6 +214,69 @@ def merge_batch(batch: DataFrame, store_dir: str,
     return summary
 
 
+def delete_keys(keys: DataFrame, store_dir: str,
+                seg_size: int | None = None) -> dict:
+    """Delete rows by (repo, path) key, touching ONLY the kb partitions
+    containing those keys — the S9 delete sink at store level, O(batch).
+
+    Ids are NOT reassigned: deleted ids become holes (nothing rank-shifts;
+    the index builder sizes segments by id span, not row count), and the
+    returned ``dirty_segments`` (needs ``seg_size``) are exactly the
+    segments whose postings still carry the removed docs — rebuild those
+    and the docs vanish from every query.  :func:`compact_store` reclaims
+    the holes when they accumulate.
+    """
+    import shutil
+
+    spark = keys.sparkSession
+    meta = store_meta(store_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no store_meta.json under {store_dir}")
+    n_kb = int(meta["n_kb"])
+
+    k = keys.select("repo", "path").distinct().withColumn(
+        "kb", _kb_col(n_kb)
+    ).localCheckpoint()
+    affected = sorted(r["kb"] for r in k.select("kb").distinct().collect())
+
+    old_aff = read_store(spark, store_dir).filter(F.col("kb").isin(affected))
+    removed = old_aff.join(k.drop("kb"), ["repo", "path"], "left_semi")
+    kept = old_aff.join(k.drop("kb"), ["repo", "path"], "left_anti").localCheckpoint()
+
+    dirty = None
+    if seg_size is not None:
+        dirty = sorted(
+            int(r["s"]) for r in removed
+            .select(F.floor(F.col("doc_id") / seg_size).alias("s"))
+            .distinct().collect()
+        )
+    # every read of the old partitions (dirty collect, counts) happens
+    # BEFORE the overwrite below; kept is eagerly checkpointed
+    n_kept = kept.count()
+    n_removed = old_aff.count() - n_kept
+
+    kept_kbs = {r["kb"] for r in kept.select("kb").distinct().collect()}
+    if n_kept:
+        (
+            kept.repartition("kb")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("kb")
+            .parquet(f"{store_dir}/data")
+        )
+    # dynamic overwrite only replaces partitions RECEIVING rows: a kb whose
+    # every row was deleted must be dropped explicitly
+    for kb in affected:
+        if kb not in kept_kbs:
+            shutil.rmtree(f"{store_dir}/data/kb={kb}", ignore_errors=True)
+
+    _write_meta(store_dir, {"n_kb": n_kb, "max_doc_id": int(meta["max_doc_id"]),
+                            "n_docs": int(meta["n_docs"]) - int(n_removed)})
+    return {"affected_kbs": affected, "n_removed": int(n_removed),
+            "dirty_segments": dirty}
+
+
 def compact_store(spark: SparkSession, store_dir: str) -> dict:
     """Periodic compaction: re-rank ALL keys densely (the fresh-ingest
     order) and rewrite every partition.  Restores the dense global-rank id

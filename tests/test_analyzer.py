@@ -127,6 +127,89 @@ def test_stem_analyzer_three_way_agree(spark, corpus_rows):
     assert any(k[1] == "pars" for k in pure)  # the stemmer actually fired
 
 
+def test_porter_canonical_vectors():
+    """Full Porter stemmer against canonical pairs from the published
+    algorithm (Porter 1980) — every step exercised."""
+    from searchengine_spark.functions.porter import porter_stem
+
+    vectors = {
+        # step 1a
+        "caresses": "caress", "ponies": "poni", "ties": "ti",
+        "caress": "caress", "cats": "cat",
+        # step 1b (+1b')
+        "feed": "feed", "agreed": "agre", "plastered": "plaster",
+        "bled": "bled", "motoring": "motor", "sing": "sing",
+        "conflated": "conflat", "troubled": "troubl", "sized": "size",
+        "hopping": "hop", "tanned": "tan", "falling": "fall",
+        "hissing": "hiss", "fizzed": "fizz", "failing": "fail",
+        "filing": "file",
+        # step 1c
+        "happy": "happi", "sky": "sky",
+        # step 2 (through the full pipeline)
+        "relational": "relat", "conditional": "condit", "rational": "ration",
+        "valenci": "valenc", "hesitanci": "hesit", "digitizer": "digit",
+        "radicalli": "radic", "differentli": "differ", "vileli": "vile",
+        "analogousli": "analog", "vietnamization": "vietnam",
+        "predication": "predic", "operator": "oper", "feudalism": "feudal",
+        "decisiveness": "decis", "hopefulness": "hope",
+        "callousness": "callous", "formaliti": "formal",
+        "sensitiviti": "sensit", "sensibiliti": "sensibl",
+        # step 3
+        "triplicate": "triplic", "formative": "form", "formalize": "formal",
+        "electriciti": "electr", "electrical": "electr", "hopeful": "hope",
+        "goodness": "good",
+        # step 4
+        "revival": "reviv", "allowance": "allow", "inference": "infer",
+        "airliner": "airlin", "gyroscopic": "gyroscop",
+        "adjustable": "adjust", "defensible": "defens", "irritant": "irrit",
+        "replacement": "replac", "adjustment": "adjust",
+        "dependent": "depend", "adoption": "adopt", "communism": "commun",
+        "activate": "activ", "angulariti": "angular",
+        "homologous": "homolog", "effective": "effect",
+        "bowdlerize": "bowdler",
+        # step 5
+        "probate": "probat", "rate": "rate", "cease": "ceas",
+        "controll": "control", "roll": "roll",
+        # guards
+        "as": "as", "is": "is",
+        # non-English passes through (non-ASCII letters are consonants)
+        "норма": "норма",
+    }
+    bad = {w: (porter_stem(w), want) for w, want in vectors.items()
+           if porter_stem(w) != want}
+    assert not bad, bad
+
+
+def test_porter_analyzer_three_way_agree(spark, corpus_rows):
+    """normalizer='porter': the pure-Python, JVM (vocabulary-join), and
+    Arrow executions must agree exactly — same structure as the 'stem'
+    slot test; the pinned golden fixtures are untouched."""
+    from searchengine_spark.schema import DOCS_SCHEMA
+
+    sample = corpus_rows[:60] + [
+        ("r", "p1", "c", "py", "relational conditioners digitizer hopping"),
+        ("r", "p2", "c", "py", "effective replacement adoption agreed ties"),
+    ]
+    df = spark.createDataFrame(sample, DOCS_SCHEMA).selectExpr(
+        "path as doc_key", "content"
+    )
+    jvm = Counter(
+        (r["doc_key"], r["lemma"])
+        for r in tokenize_jvm(df, id_cols="doc_key", normalizer="porter").collect()
+    )
+    arrow = Counter(
+        (r["doc_key"], r["lemma"])
+        for r in tokenize_arrow(df, id_cols="doc_key", normalizer="porter").collect()
+    )
+    pure = Counter()
+    for repo, path, commit, lang, content in sample:
+        for lemma in analyze(content, normalizer="porter"):
+            pure[(path, lemma)] += 1
+    assert jvm == pure
+    assert arrow == pure
+    assert any(k[1] == "relat" for k in pure)  # porter actually fired
+
+
 def test_doc_term_stats_arrow_equals_pandas(spark, corpus_rows):
     """The mapInArrow (pyarrow compute) and mapInPandas executions of the
     fused tf/dl stage must agree exactly — including multi-lemma expansion

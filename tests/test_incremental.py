@@ -293,6 +293,65 @@ def test_append_ids_bound_rebuild_blast_radius(spark, tmp_path):
     assert len(upd_hits) == 1
 
 
+def test_store_delete_keys_bounded_and_correct(spark, tmp_path):
+    """Store-level delete: O(batch) partition-scoped removal, ids become
+    holes (nothing rank-shifts), only the removed ids' segments rebuild,
+    and the resulting index equals a fresh build over the surviving rows
+    (key-mapped surface — the fresh build re-ranks densely)."""
+    from searchengine_spark.streaming.store import (
+        delete_keys, init_store, read_store,
+    )
+
+    rows = gen_corpus_local(60)
+    store = str(tmp_path / "store")
+    init_store(spark.createDataFrame(rows, DOCS_SCHEMA), store)
+    idx = str(tmp_path / "idx")
+    build_index(read_store(spark, store), idx, n_segments=3, resume=False)
+    before = {m["segment"]: m for m in all_manifests(idx)}
+    with open(f"{idx}/meta.json") as fh:
+        m0 = json.load(fh)
+    seg_size = m0["seg_size"]
+
+    # delete two EARLY-ranked keys (the worst case under global ranks)
+    stored = read_store(spark, store)
+    victims = [(r["repo"], r["path"]) for r in
+               stored.filter("doc_id in (2, 5)").select("repo", "path").collect()]
+    summary = delete_keys(
+        spark.createDataFrame(victims, "repo string, path string"),
+        store, seg_size=seg_size,
+    )
+    assert summary["n_removed"] == 2
+    assert summary["dirty_segments"] == [0]  # both ids in segment 0 only
+
+    remaining = read_store(spark, store)
+    assert remaining.count() == 58
+    got_ids = sorted(r["doc_id"] for r in remaining.select("doc_id").collect())
+    assert got_ids == [i for i in range(60) if i not in (2, 5)]  # holes, no shift
+
+    for s in summary["dirty_segments"]:
+        p = tmp_path / "idx" / "manifests" / f"segment={s}.json"
+        p.unlink()
+    build_index(read_store(spark, store), idx, resume=True,
+                fixed_avgdl=m0["avgdl"])
+
+    after = {m["segment"]: m for m in all_manifests(idx)}
+    assert sorted(after) == [0, 1, 2]  # id span keeps all three segments
+    for s, m in before.items():
+        if s not in summary["dirty_segments"]:
+            assert after[s] == m
+    with open(f"{idx}/meta.json") as fh:
+        assert json.load(fh)["n_docs"] == 58
+
+    # surface equality vs a fresh dense build over the survivors
+    keep_keys = {(r[0], r[1]) for r in rows} - set(victims)
+    fresh_rows = [r for r in rows if (r[0], r[1]) in keep_keys]
+    fresh_dir = str(tmp_path / "fresh")
+    fresh = ingest(spark.createDataFrame(fresh_rows, DOCS_SCHEMA))
+    build_index(fresh, fresh_dir, n_segments=3, resume=False)
+    assert (_surface_by_key(spark, idx, _id_key_map(remaining))
+            == _surface_by_key(spark, fresh_dir, _id_key_map(fresh)))
+
+
 def test_compact_store_restores_dense_global_ranks(spark, tmp_path):
     """After appends diverge from key order, compaction re-ranks densely to
     the fresh-ingest order (then any index must be fully rebuilt)."""
