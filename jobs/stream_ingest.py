@@ -47,8 +47,7 @@ def main() -> None:
     t0 = time.perf_counter()
 
     if args.delete_repo:
-        from searchengine_spark.index.builder import build_index
-        from searchengine_spark.streaming.incremental import incremental_reindex  # noqa: F401
+        from searchengine_spark.streaming.incremental import rebuild_segments
 
         with open(f"{args.index}/meta.json") as fh:
             meta = json.load(fh)
@@ -57,12 +56,10 @@ def main() -> None:
         ).select("repo", "path")
         summary = dstore.delete_keys(keys, args.store,
                                      seg_size=int(meta["seg_size"]))
-        for seg in summary["dirty_segments"]:
-            p = Path(args.index) / "manifests" / f"segment={seg}.json"
-            if p.exists():
-                p.unlink()
-        build_index(dstore.read_store(spark, args.store), args.index,
-                    resume=True, fixed_avgdl=meta["avgdl"])
+        # read_store tolerates a fully-emptied store (empty DF), and the
+        # builder tolerates the empty corpus (drops all segments)
+        rebuild_segments(dstore.read_store(spark, args.store), args.index,
+                         summary["dirty_segments"])
         print(json.dumps({
             "mode": "delete", "repo": args.delete_repo,
             "n_removed": summary["n_removed"],
@@ -78,11 +75,15 @@ def main() -> None:
 
     stream_ingest(spark, args.landing, args.store, args.index, args.checkpoint)
     smeta = dstore.store_meta(args.store)
-    with open(f"{args.index}/meta.json") as fh:
-        imeta = json.load(fh)
+    imeta = None
+    meta_p = Path(args.index) / "meta.json"
+    if meta_p.exists():
+        with open(meta_p) as fh:
+            m = json.load(fh)
+        imeta = {k: m[k] for k in ("n_docs", "n_segments", "seg_size")}
     print(json.dumps({
-        "mode": "ingest", "store": smeta,
-        "index": {k: imeta[k] for k in ("n_docs", "n_segments", "seg_size")},
+        "mode": "ingest", "store": smeta,  # both None if zero batches drained
+        "index": imeta,
         "seconds": round(time.perf_counter() - t0, 2),
     }))
 

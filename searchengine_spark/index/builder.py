@@ -364,6 +364,12 @@ def build_index(
     timings["merge_write_s"] = round(__import__("time").perf_counter() - _t, 2)
     _t = __import__("time").perf_counter()
 
+    # An emptied corpus (store-level deletes removed everything) writes no
+    # partitions at all: skip the read-backs that would fail inference
+    import glob as _glob
+
+    has_data = bool(_glob.glob(f"{out_dir}/data/segment=*"))
+
     # ---- dictionary: per-segment df per lemma, (segment, bucket)-partitioned
     # ≙ the reference's `lemma` table as a physical artifact.  Query-time
     # lookups read the term's bucket= dirs and sum df across segments (a few
@@ -371,16 +377,17 @@ def build_index(
     # O(rebuilt segments) — a column-pruned read-back of the fresh index
     # partitions (parquet never touches the postings bytes) under the same
     # dynamic-overwrite discipline as the data itself.
-    (
-        spark.read.parquet(f"{out_dir}/data")
-        .filter(F.col("segment").isin(missing))
-        .select("lemma", "df", "segment", "bucket")
-        .repartition("segment", "bucket")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("segment", "bucket")
-        .parquet(f"{out_dir}/dict")
-    )
+    if has_data:
+        (
+            spark.read.parquet(f"{out_dir}/data")
+            .filter(F.col("segment").isin(missing))
+            .select("lemma", "df", "segment", "bucket")
+            .repartition("segment", "bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("segment", "bucket")
+            .parquet(f"{out_dir}/dict")
+        )
     timings["dict_s"] = round(__import__("time").perf_counter() - _t, 2)
     _t = __import__("time").perf_counter()
 
@@ -400,12 +407,14 @@ def build_index(
     }
     written = {
         r["segment"]: r
-        for r in spark.read.parquet(f"{out_dir}/data")
-        .filter(F.col("segment").isin(missing))
-        .groupBy("segment")
-        .agg(F.count("*").alias("terms"), F.sum("df").alias("postings"))
-        .collect()
-    }
+        for r in (
+            spark.read.parquet(f"{out_dir}/data")
+            .filter(F.col("segment").isin(missing))
+            .groupBy("segment")
+            .agg(F.count("*").alias("terms"), F.sum("df").alias("postings"))
+            .collect()
+        )
+    } if has_data else {}
     for seg in missing:
         lin = lineage.get(seg)
         wrt = written.get(seg)
@@ -428,9 +437,14 @@ def build_index(
 
 def read_index(spark: SparkSession, out_dir: str, lemmas: list[str] | None = None) -> DataFrame:
     """Read the index; with ``lemmas`` given, prune to their buckets
-    (partition pruning on bucket=) and filter exact terms."""
+    (partition pruning on bucket=) and filter exact terms.  An index built
+    over an emptied corpus (no segment= dirs) reads as empty."""
+    import glob as _glob
+
     with open(f"{out_dir}/meta.json") as fh:
         meta = json.load(fh)
+    if not _glob.glob(f"{out_dir}/data/segment=*"):
+        return spark.createDataFrame([], INDEX_OUT_SCHEMA)
     df = spark.read.parquet(f"{out_dir}/data")  # segment/bucket from dir names
     if lemmas is not None:
         buckets = sorted({hash_bucket(x, meta["n_buckets"]) for x in lemmas})

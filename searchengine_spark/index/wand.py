@@ -83,6 +83,10 @@ class TermPostings:
                 self._full = tuple(
                     np.concatenate([p[j] for p in parts]) for j in range(3)
                 )
+            # every lookup now takes the _full fast path, so the per-block
+            # cache is dead weight — dropping it halves the decoded-postings
+            # memory a warm term pins in the serving LRU
+            self._cache.clear()
         return self._full
 
     def lookup(self, ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -232,14 +236,14 @@ def gdf_lookup(spark: SparkSession, index_dir: str, qlemmas: list[str],
     terms and sum the per-segment df rows (the dict is (segment, bucket)-
     partitioned so partial rebuilds stay O(segment) — builder.py).
     Returns [] if the dict artifact doesn't exist."""
-    import os
+    import glob as _glob
 
     from pyspark.sql import functions as F
 
     from .builder import hash_bucket
 
-    if not os.path.isdir(f"{index_dir}/dict"):
-        return []
+    if not _glob.glob(f"{index_dir}/dict/segment=*"):
+        return []  # missing OR emptied-corpus dict
     buckets = sorted({hash_bucket(x, meta["n_buckets"]) for x in qlemmas})
     df = spark.read.parquet(f"{index_dir}/dict")
     rows = (

@@ -169,7 +169,10 @@ def write_embeddings_bucketed(emb: DataFrame, path: str,
     import os
 
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+        row = emb.select(vec_col).first()
+        if row is None:
+            raise ValueError("cannot infer dim from an empty table; pass dim=")
+        dim = len(row[0])
     planes = hyperplanes(dim, n_planes, seed)
     (
         emb.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))

@@ -103,22 +103,18 @@ def changed_segments(old_ingested: DataFrame, new_ingested: DataFrame,
     return sorted(int(r["s"]) for r in segs)
 
 
-def incremental_reindex(docs_ingested: DataFrame, index_dir: str,
-                        changed_doc_ids: list[int]) -> list[int]:
-    """Rebuild only the segments containing ``changed_doc_ids``.
-
-    ``docs_ingested`` is the UPDATED corpus (post-upsert).  Returns the list
-    of rebuilt segments.  Caller contract: ``changed_doc_ids`` covers every
-    changed AND rank-shifted id (``changed_segments`` computes that set
-    distributedly; content-only edits keep their ids).  seg_size and avgdl
-    are pinned from meta.json — the builder derives the segment count from
-    the pinned size, so a grown corpus appends segments.
-    """
+def rebuild_segments(docs_ingested: DataFrame, index_dir: str,
+                     segs: list[int]) -> list[int]:
+    """THE segment-rebuild primitive: invalidate the given segments'
+    manifests and resume the build over them under the pinned seg_size /
+    avgdl (MaxScore's block-max bounds and query scores must share one
+    avgdl; a full rebuild refreshes it).  Every incremental path — doc-id
+    upserts, streaming micro-batches, store deletes — funnels through
+    here so the rebuild contract lives in one place."""
     from ..index.builder import build_index
 
     with open(f"{index_dir}/meta.json") as fh:
         meta = json.load(fh)
-    segs = affected_segments(index_dir, changed_doc_ids)
     for s in segs:
         p = pathlib.Path(f"{index_dir}/manifests/segment={s}.json")
         if p.exists():
@@ -130,6 +126,22 @@ def incremental_reindex(docs_ingested: DataFrame, index_dir: str,
         fixed_avgdl=meta["avgdl"],
     )
     return segs
+
+
+def incremental_reindex(docs_ingested: DataFrame, index_dir: str,
+                        changed_doc_ids: list[int]) -> list[int]:
+    """Rebuild only the segments containing ``changed_doc_ids``.
+
+    ``docs_ingested`` is the UPDATED corpus (post-upsert).  Returns the list
+    of rebuilt segments.  Caller contract: ``changed_doc_ids`` covers every
+    changed AND rank-shifted id (``changed_segments`` computes that set
+    distributedly; content-only edits keep their ids).  seg_size and avgdl
+    are pinned from meta.json — the builder derives the segment count from
+    the pinned size, so a grown corpus appends segments.
+    """
+    return rebuild_segments(
+        docs_ingested, index_dir, affected_segments(index_dir, changed_doc_ids)
+    )
 
 
 def stream_ingest(spark: SparkSession, landing_dir: str, docs_store: str,
@@ -154,15 +166,25 @@ def stream_ingest(spark: SparkSession, landing_dir: str, docs_store: str,
         smeta = dstore.store_meta(docs_store)
 
         if smeta is None:
-            # first batch — or a legacy flat-parquet store: migrate it once
+            # first batch — or a legacy flat-parquet store: migrate it once.
+            # Migration initializes the store from the LEGACY rows alone and
+            # then merges the batch through the normal path, so same-commit
+            # conflicts resolve by the one documented contract (batch wins —
+            # a re-send of the same commit with changed content is a
+            # correction), not by the init dedup's sha tie-break.
             legacy = pathlib.Path(docs_store)
-            first = batch_df
-            if legacy.exists() and any(legacy.glob("*.parquet")):
+            legacy_files = sorted(legacy.glob("*.parquet")) if legacy.exists() else []
+            if legacy_files:
                 old = s.read.parquet(docs_store).select(
                     "repo", "path", "commit", "lang", "content"
-                )
-                first = old.unionByName(batch_df)
-            dstore.init_store(first, docs_store)
+                ).localCheckpoint()
+                dstore.init_store(old, docs_store)
+                dstore.merge_batch(batch_df, docs_store)
+                for p in legacy_files:  # drop the flat copy once migrated
+                    p.unlink()
+                (legacy / "_SUCCESS").unlink(missing_ok=True)
+            else:
+                dstore.init_store(batch_df, docs_store)
             if meta_p.exists():
                 for p in pathlib.Path(f"{index_dir}/manifests").glob("segment=*.json"):
                     p.unlink()
@@ -178,12 +200,8 @@ def stream_ingest(spark: SparkSession, landing_dir: str, docs_store: str,
             meta = json.load(fh)
         summary = dstore.merge_batch(batch_df, docs_store,
                                      seg_size=int(meta["seg_size"]))
-        for seg in summary["dirty_segments"]:
-            p = pathlib.Path(f"{index_dir}/manifests/segment={seg}.json")
-            if p.exists():
-                p.unlink()
-        build_index(dstore.read_store(s, docs_store), index_dir,
-                    resume=True, fixed_avgdl=meta["avgdl"])
+        rebuild_segments(dstore.read_store(s, docs_store), index_dir,
+                         summary["dirty_segments"])
 
     (
         spark.readStream.schema(DOCS_SCHEMA)

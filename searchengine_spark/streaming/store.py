@@ -84,7 +84,16 @@ def _write_meta(store_dir: str, meta: dict) -> None:
 
 
 def read_store(spark: SparkSession, store_dir: str) -> DataFrame:
-    """The full ingested corpus (kb partition column included)."""
+    """The full ingested corpus (kb partition column included).  A store
+    whose every row was deleted (no kb= dirs left) reads as an empty
+    DataFrame with the ingested schema instead of failing inference."""
+    import glob as _glob
+
+    if not _glob.glob(f"{store_dir}/data/kb=*"):
+        return spark.createDataFrame(
+            [], "repo string, path string, commit string, lang string, "
+                "content string, doc_id long, sha256 string, kb int"
+        )
     return spark.read.parquet(f"{store_dir}/data")
 
 

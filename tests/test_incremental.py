@@ -352,6 +352,33 @@ def test_store_delete_keys_bounded_and_correct(spark, tmp_path):
             == _surface_by_key(spark, fresh_dir, _id_key_map(fresh)))
 
 
+def test_delete_everything_empties_index_gracefully(spark, tmp_path):
+    """Deleting every key must leave a readable empty store and an index
+    that answers queries with [] — no schema-inference crashes anywhere."""
+    from searchengine_spark.streaming.incremental import rebuild_segments
+    from searchengine_spark.streaming.store import (
+        delete_keys, init_store, read_store,
+    )
+
+    rows = gen_corpus_local(20)
+    store = str(tmp_path / "store")
+    init_store(spark.createDataFrame(rows, DOCS_SCHEMA), store)
+    idx = str(tmp_path / "idx")
+    build_index(read_store(spark, store), idx, n_segments=2, resume=False)
+    with open(f"{idx}/meta.json") as fh:
+        seg_size = json.load(fh)["seg_size"]
+
+    all_keys = read_store(spark, store).select("repo", "path")
+    summary = delete_keys(all_keys, store, seg_size=seg_size)
+    assert summary["n_removed"] == 20
+
+    remaining = read_store(spark, store)
+    assert remaining.count() == 0  # empty DF, schema intact
+    rebuild_segments(remaining, idx, summary["dirty_segments"])
+    assert read_index(spark, idx).count() == 0
+    assert bm25_topk(spark, idx, "tamok", 10).collect() == []
+
+
 def test_compact_store_restores_dense_global_ranks(spark, tmp_path):
     """After appends diverge from key order, compaction re-ranks densely to
     the fresh-ingest order (then any index must be fully rebuilt)."""
