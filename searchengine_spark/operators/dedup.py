@@ -147,12 +147,77 @@ def _minhash_wide(docs: DataFrame, text_col: str, id_col: str, n: int,
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _minhash_wide_arrow(docs: DataFrame, text_col: str, id_col: str, n: int,
+                        num_hashes: int) -> DataFrame:
+    """Zero-shuffle Arrow twin of :func:`_minhash_wide` — the bench path.
+
+    A doc's shingles all live in its own input row, so the whole signature
+    is computable map-side inside one Arrow batch: tokenize, build word
+    n-grams, md5→60-bit base value, and a (num_hashes × shingles) numpy
+    broadcast of ``(a·x + b) % P`` min-reduced per doc.  No explode, no
+    shuffle, no interpreted higher-order functions (the JVM path pays
+    ~6.5 µs per shingle in `transform`'s interpreted slice+concat_ws —
+    measured 1.7 s of the sf0.1 signature pass).  Values are EXACTLY the
+    portable family of the module docstring: the JVM/DuckDB/Arrow paths
+    agree value-for-value (tests/test_dedup.py parity test).
+
+    uint64 is overflow-safe: a,x < 2^31 so a·x + b < 2^62 + 2^31.
+    """
+    import numpy as np
+
+    schema = f"{id_col} long, " + ", ".join(f"_h{i} long" for i in range(num_hashes))
+    A = np.array(MINHASH_A[:num_hashes], dtype=np.uint64).reshape(-1, 1)
+    B = np.array(MINHASH_B[:num_hashes], dtype=np.uint64).reshape(-1, 1)
+    names = [id_col] + [f"_h{i}" for i in range(num_hashes)]
+    narrowed = docs.select(id_col, text_col)
+
+    def _batches(it):
+        import hashlib
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            texts = batch.column(1).to_pylist()
+            row_idx: list[int] = []
+            sigs: list[np.ndarray] = []
+            for i, txt in enumerate(texts):
+                toks = (txt or "").split(" ")
+                if len(toks) < n:
+                    continue  # JVM: sequence(0, size-n) would descend
+                # set(): min is dup-invariant, and dedup halves the md5 calls
+                grams = {" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)}
+                grams.discard("")  # JVM: filter _shingle != ''
+                if not grams:
+                    continue
+                xs = np.fromiter(
+                    (int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % MERSENNE_P
+                     for g in grams),
+                    dtype=np.uint64, count=len(grams),
+                )
+                row_idx.append(i)
+                sigs.append(((A * xs + B) % MERSENNE_P).min(axis=1))
+            if not sigs:
+                continue
+            mins = np.stack(sigs)  # (rows, k)
+            ids = pc.cast(pc.take(batch.column(0), pa.array(row_idx, pa.int32())),
+                          pa.int64())
+            cols = [ids] + [pa.array(mins[:, k].astype(np.int64))
+                            for k in range(num_hashes)]
+            yield pa.record_batch(cols, names=names)
+
+    return narrowed.mapInArrow(_batches, schema=schema)
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n: int = 3,
-                       num_hashes: int = 64) -> DataFrame:
-    """(id, sig: array<long>[num_hashes]) — packed view of
-    :func:`_minhash_wide`."""
-    wide = _minhash_wide(docs, text_col, id_col, n, num_hashes)
+                       num_hashes: int = 64, impl: str = "arrow") -> DataFrame:
+    """(id, sig: array<long>[num_hashes]) — packed view of the wide
+    signature table (``impl``: 'arrow' zero-shuffle default / 'jvm')."""
+    f = _minhash_wide_arrow if impl == "arrow" else _minhash_wide
+    wide = f(docs, text_col, id_col, n, num_hashes)
     return wide.select(
         id_col, F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig")
     )
@@ -161,7 +226,8 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3,
                       num_hashes: int = 64, bands: int = 16,
-                      threshold: float = 0.5, verify: bool = True) -> DataFrame:
+                      threshold: float = 0.5, verify: bool = True,
+                      impl: str = "arrow") -> DataFrame:
     """MinHash + LSH banding near-dup pairs.
 
     num_hashes/bands rows per band; two docs collide if any band signature
@@ -169,12 +235,18 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     candidates with exact n-gram Jaccard (no false positives; recall is the
     usual LSH S-curve).  The band join is the scale path: shuffle keyed on
     (band, bucket) — hot buckets are bounded by band width.
+
+    ``impl='arrow'`` (default) computes signatures map-side via
+    :func:`_minhash_wide_arrow` (zero shuffle, no interpreted HOFs);
+    ``impl='jvm'`` keeps the pure-Catalyst path — both produce identical
+    values (parity-tested), so the DuckDB gate oracle covers either.
     """
     rows_per_band = num_hashes // bands
     # materialize signatures before banding/self-join: projection collapse
     # would otherwise inline the 64-hash expression into every band column
     # on BOTH join sides (and the doubled tree falls out of codegen)
-    wide = _minhash_wide(docs, text_col, id_col, n, num_hashes).cache()
+    sig_f = _minhash_wide_arrow if impl == "arrow" else _minhash_wide
+    wide = sig_f(docs, text_col, id_col, n, num_hashes).cache()
     # band bucket = comma-joined signature slice (plain concat_ws over the
     # wide columns — no interpreted higher-order functions anywhere)
     band_structs = [
@@ -200,28 +272,28 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     )
     if not verify:
         return cand
-    # verify ONLY the candidate pairs, pairwise: each doc's distinct shingle
-    # set is a MAP-SIDE projection over the docs scan (no shuffle, no agg,
-    # no cache — recomputing a projection is cheaper than staging it), and
-    # exact Jaccard comes from array_intersect after joining both sides to
-    # the pair list.  The candidate side is tiny after banding, so AQE
-    # turns both joins into broadcasts at runtime (never forced — at 100 TB
-    # a pathological corpus could make it large, and then it must shuffle).
-    # r2 shape (cand cache + union-distinct cand_docs + left-semi) spent
-    # ~2 s of fixed per-stage overhead staging what these two joins prune
-    # for free.
-    sets = (
-        docs.select(id_col, F.array_distinct(_shingle_col(text_col, n)).alias("_sh"))
-        .select(id_col, F.array_remove(F.col("_sh"), "").alias("_sh"))
+    # verify ONLY the candidate pairs: join the pair list to the RAW texts
+    # (a cheap columnar (id, text) scan — no shingle work on non-candidate
+    # rows) and evaluate the exact-Jaccard shingle expressions on the
+    # joined pairs, i.e. O(|candidates|) interpreted-HOF evaluations
+    # instead of O(corpus) on each side.  The candidate side is tiny after
+    # banding, so AQE turns both joins into broadcasts at runtime (never
+    # forced — at 100 TB a pathological corpus could make it large, and
+    # then it must shuffle).  The projections computing _sha/_shb sit
+    # ABOVE the joins by construction, so Catalyst cannot push the shingle
+    # work below the pair filter.
+    ta = docs.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta"))
+    tb = docs.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb"))
+    joined = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("_sha", F.array_remove(F.array_distinct(_shingle_col("_ta", n)), ""))
+        .withColumn("_shb", F.array_remove(F.array_distinct(_shingle_col("_tb", n)), ""))
     )
-    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sha"))
-    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_shb"))
     inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
     union = F.size(F.col("_sha")) + F.size(F.col("_shb")) - inter
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", F.round(inter / union, 4))
+        joined.withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

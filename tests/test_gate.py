@@ -104,3 +104,32 @@ def test_html_text_and_title_units(spark):
         ("", "plain text, no markup"),
         ("", ""),
     ]
+
+
+def test_minhash_arrow_jvm_signature_parity(spark):
+    """The zero-shuffle Arrow signature path must agree VALUE-FOR-VALUE
+    with the pure-JVM Catalyst path (and hence with the DuckDB oracle's
+    portable md5 universal-hash family) — including on adversarial texts:
+    empty, null, multi-space runs, short docs, unicode, duplicate grams."""
+    from searchengine_spark.operators.dedup import _minhash_wide, _minhash_wide_arrow
+
+    adversarial = [
+        (1000, ""), (1001, None), (1002, "one two"),            # too short
+        (1003, "a b c"), (1004, "a  b  c d"),                   # empty tokens
+        (1005, "x y z x y z x y z"),                            # duplicate grams
+        (1006, "héllo wörld übung straße ñandú"),               # unicode utf-8
+        (1007, " leading and trailing spaces "),
+        (1008, "\tTAB seperated\tnot space split here"),
+    ]
+    real = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text").limit(50).collect()
+    )
+    rows = adversarial + [(r["doc_id"], r["text"]) for r in real]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    jvm = {r["doc_id"]: tuple(r[i] for i in range(1, 65))
+           for r in _minhash_wide(docs, "text", "doc_id", 3, 64).collect()}
+    arrow = {r["doc_id"]: tuple(r[i] for i in range(1, 65))
+             for r in _minhash_wide_arrow(docs, "text", "doc_id", 3, 64).collect()}
+    assert set(jvm) == set(arrow)
+    assert jvm == arrow
