@@ -39,3 +39,7 @@ def test_maxscore_equals_exhaustive_random(seed, n_terms, k, conjunctive):
                                mode="maxscore", conjunctive=conjunctive)
     assert ids_e.tolist() == ids_m.tolist()
     assert sc_e.tolist() == sc_m.tolist()  # bit-identical, same math path
+    ids_w, sc_w = segment_topk(rows, n_docs, avgdl, k,
+                               mode="bmw", conjunctive=conjunctive)
+    assert ids_e.tolist() == ids_w.tolist()
+    assert sc_e.tolist() == sc_w.tolist()  # block-max WAND is exact too
