@@ -25,6 +25,21 @@ def token_count(text_col: Column) -> Column:
     return F.size(tokens_col(text_col)).cast("long")
 
 
+# BPE-ish pre-tokenizer split (GPT-2 family), restricted to the regex
+# subset Java regex and RE2 evaluate identically (no lookahead — RE2 has
+# none): contraction suffixes, space-prefixed letter runs, digit runs,
+# punctuation runs, residual whitespace.  A real BPE vocab merge would run
+# on top of these pieces; the PIECE COUNT is the cheap token estimator a
+# training pipeline budgets with.
+BPE_SPLIT_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def token_count_bpe(text_col: Column) -> Column:
+    """BPE-ish token count: number of pre-tokenizer pieces under
+    :data:`BPE_SPLIT_RE` — single codegen'd regexp pass, zero Python."""
+    return F.size(F.regexp_extract_all(text_col, F.lit(BPE_SPLIT_RE), F.lit(0))).cast("long")
+
+
 def chars_per_token(text_col: Column) -> Column:
     return F.round(F.length(text_col).cast("double") / token_count(text_col), 4)
 

@@ -28,6 +28,7 @@ from .functions.text import (
     quality_score,
     stopword_ratio,
     token_count,
+    token_count_bpe,
     tokens_col,
 )
 from .operators.ann import brute_force_topk, lsh_topk
@@ -703,6 +704,29 @@ FROM base
 """
 
 
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token budget estimators: whitespace count + BPE-ish
+    pre-tokenizer piece count (functions/text.py BPE_SPLIT_RE — the regex
+    subset Java and RE2 evaluate identically, so the DuckDB twin runs the
+    same pattern)."""
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws"),
+        token_count_bpe(F.col("text")).alias("n_bpe"),
+    )
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), t -> t <> ''))::BIGINT AS n_ws,
+       len(regexp_extract_all(text,
+           '''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'
+       ))::BIGINT AS n_bpe
+FROM documents
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     return docs.select("doc_id", lang_id_en(F.col("text")).alias("pred_lang"))
@@ -1023,6 +1047,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine,
     "ann_lsh_topk": q_ann_lsh,
     "text_quality": q_text_quality,
+    "token_count": q_token_count,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "set_intersect": q_set_intersect,
@@ -1052,6 +1077,7 @@ ORACLE: dict[str, str] = {
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "ann_cosine_topk": SQL_ANN_COSINE,
     "text_quality": SQL_TEXT_QUALITY,
+    "token_count": SQL_TOKEN_COUNT,
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,
     "set_intersect": SQL_SET_INTERSECT,
