@@ -83,18 +83,37 @@ def _write_meta(store_dir: str, meta: dict) -> None:
         json.dump(meta, fh, indent=1)
 
 
-def read_store(spark: SparkSession, store_dir: str) -> DataFrame:
-    """The full ingested corpus (kb partition column included).  A store
-    whose every row was deleted (no kb= dirs left) reads as an empty
-    DataFrame with the ingested schema instead of failing inference."""
+STORE_SCHEMA = ("repo string, path string, commit string, lang string, "
+                "content string, doc_id long, sha256 string, kb int")
+
+
+def read_store(spark: SparkSession, store_dir: str,
+               kbs: list[int] | None = None) -> DataFrame:
+    """The ingested corpus (kb partition column included).  A store whose
+    every row was deleted (no kb= dirs left) reads as an empty DataFrame
+    with the ingested schema instead of failing inference.
+
+    ``kbs``: read ONLY those kb= directories via direct-path reads.  The
+    explicit schema skips footer-based inference and the direct paths skip
+    listing the table root — at 10^12 files enumerating every kb dir (and
+    stat-ing every file) during planning would dwarf the O(batch) merge
+    itself; missing dirs (never-written or fully-deleted kb) contribute no
+    rows."""
     import glob as _glob
 
-    if not _glob.glob(f"{store_dir}/data/kb=*"):
-        return spark.createDataFrame(
-            [], "repo string, path string, commit string, lang string, "
-                "content string, doc_id long, sha256 string, kb int"
+    if kbs is not None:
+        dirs = [d for k in sorted(set(kbs))
+                if os.path.isdir(d := f"{store_dir}/data/kb={k}")]
+        if not dirs:
+            return spark.createDataFrame([], STORE_SCHEMA)
+        return (
+            spark.read.schema(STORE_SCHEMA)
+            .option("basePath", f"{store_dir}/data")
+            .parquet(*dirs)
         )
-    return spark.read.parquet(f"{store_dir}/data")
+    if not _glob.glob(f"{store_dir}/data/kb=*"):
+        return spark.createDataFrame([], STORE_SCHEMA)
+    return spark.read.schema(STORE_SCHEMA).parquet(f"{store_dir}/data")
 
 
 def init_store(batch: DataFrame, store_dir: str,
@@ -146,7 +165,7 @@ def merge_batch(batch: DataFrame, store_dir: str,
     nb = nb.withColumn("kb", _kb_col(n_kb)).localCheckpoint()
     affected = sorted(r["kb"] for r in nb.select("kb").distinct().collect())
 
-    old_aff = read_store(spark, store_dir).filter(F.col("kb").isin(affected)).select(
+    old_aff = read_store(spark, store_dir, kbs=affected).select(
         "repo", "path",
         F.col("commit").alias("_oc"), F.col("lang").alias("_ol"),
         F.col("content").alias("_oct"), F.col("doc_id").alias("_oid"),
@@ -248,7 +267,7 @@ def delete_keys(keys: DataFrame, store_dir: str,
     ).localCheckpoint()
     affected = sorted(r["kb"] for r in k.select("kb").distinct().collect())
 
-    old_aff = read_store(spark, store_dir).filter(F.col("kb").isin(affected))
+    old_aff = read_store(spark, store_dir, kbs=affected)
     removed = old_aff.join(k.drop("kb"), ["repo", "path"], "left_semi")
     kept = old_aff.join(k.drop("kb"), ["repo", "path"], "left_anti").localCheckpoint()
 

@@ -399,3 +399,26 @@ def test_compact_store_restores_dense_global_ranks(spark, tmp_path):
     got = {(r["repo"], r["path"]): r["doc_id"]
            for r in read_store(spark, store).select("repo", "path", "doc_id").collect()}
     assert got == want
+
+
+def test_read_store_kbs_direct_path_pruning(spark, tmp_path):
+    """read_store(kbs=...) must produce exactly the rows of those key
+    buckets while its scan lists ONLY the requested kb= directories — the
+    10^12-file planning contract (no table-root listing, no schema
+    inference over unaffected partitions).  Missing kb dirs are no-ops."""
+    from searchengine_spark.streaming.store import init_store, read_store
+
+    rows = gen_corpus_local(60)
+    init_store(spark.createDataFrame(rows, DOCS_SCHEMA), str(tmp_path / "s"), n_kb=8)
+    store = str(tmp_path / "s")
+
+    full = read_store(spark, store)
+    want_kbs = [0, 3]
+    expect = {(r["repo"], r["path"]) for r in
+              full.filter(full.kb.isin(want_kbs)).collect()}
+    pruned = read_store(spark, store, kbs=want_kbs + [999])  # 999: missing dir
+    got = {(r["repo"], r["path"]) for r in pruned.collect()}
+    assert got == expect and got  # non-trivial bucket contents
+    files = pruned.inputFiles()
+    assert files and all("/kb=0/" in f or "/kb=3/" in f for f in files)
+    assert pruned.schema == full.schema
