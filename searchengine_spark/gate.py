@@ -668,6 +668,58 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate cosine top-10: medoid quantizer = the 16 lowest-id
+    vectors (operators/ann.py ivf_centroids — chosen deterministic so the
+    oracle re-derives assignment from the table itself), probe the 2 lists
+    nearest the query.  Full value check."""
+    from .operators.ann import ivf_topk
+
+    return ivf_topk(
+        _load(spark, sf_dir, "embeddings"),
+        _query_vec(spark, sf_dir),
+        k=10,
+        n_lists=16,
+        nprobe=2,
+        exclude_id=0,
+    )
+
+
+# cosine(a, b) spelled once, exactly as the Spark side evaluates it
+def _cos_sql(a: str, b: str) -> str:
+    return (f"list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))")
+
+
+SQL_ANN_IVF = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS ev, c.cid,
+         {_cos_sql('e.embedding::DOUBLE[]', 'c.cv')} AS sim
+  FROM embeddings e CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, ev, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+  FROM sims
+),
+probes AS (
+  SELECT c.cid FROM c, q
+  ORDER BY {_cos_sql('c.cv', 'q.qe')} DESC, c.cid
+  LIMIT 2
+)
+SELECT a.vec_id,
+       round({_cos_sql('a.ev', 'q.qe')}, 4) AS cos_sim
+FROM assign a, q
+WHERE a.rn = 1 AND a.cid IN (SELECT cid FROM probes) AND a.vec_id <> 0
+ORDER BY cos_sim DESC, a.vec_id LIMIT 10
+"""
+
+
 # --- text analysis ----------------------------------------------------------
 
 
@@ -1046,6 +1098,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine,
     "ann_lsh_topk": q_ann_lsh,
+    "ann_ivf_topk": q_ann_ivf,
     "text_quality": q_text_quality,
     "token_count": q_token_count,
     "lang_id": q_lang_id,
@@ -1093,6 +1146,7 @@ ORACLE: dict[str, str] = {
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "ann_lsh_topk": SQL_ANN_LSH,
+    "ann_ivf_topk": SQL_ANN_IVF,
     "embed_dedup_lsh": SQL_EMBED_DEDUP_LSH,
     "events_hourly_window": SQL_EVENTS_HOURLY,
 }

@@ -1,10 +1,16 @@
 """Similarity search over an embedding column (``array<float>``).
 
 Scale extension (no reference analog): brute-force cosine top-k as the
-correctness baseline, and a random-hyperplane LSH bucketed variant as the
-scale path (candidates meet in sign-pattern buckets; only bucket-mates are
-scored).  The hyperplanes are generated from a fixed seed on the driver and
-shipped as literals — deterministic across runs and cluster sizes.
+correctness baseline, and two scale paths — a random-hyperplane LSH
+bucketed variant (candidates meet in sign-pattern buckets; only
+bucket-mates are scored) and an IVF inverted-file variant (vectors
+assigned to their nearest coarse-centroid list; only the nprobe lists
+nearest the query are scored).  The hyperplanes are generated from a fixed
+seed on the driver and shipped as literals, and the IVF quantizer is a
+deterministic medoid set — both reproducible across runs, cluster sizes
+and engines (the DuckDB gate oracle re-derives them).  Both have persisted
+partitioned layouts (``write_embeddings_bucketed`` / ``write_embeddings_ivf``)
+where a probe is a partition-pruned read.
 
 All vector math is JVM-side (``zip_with`` + ``aggregate`` column
 expressions) — no Python in the hot path.  A Pandas-UDF/numpy batch variant
@@ -211,6 +217,118 @@ def lsh_topk_bucketed(spark, path: str, query_vec: list[float], k: int = 10,
         raise ValueError(f"query dim {len(query_vec)} != table dim {meta['dim']}")
     probes = probe_buckets(query_vec, planes, n_probes)
     cand = read_embeddings_probed(spark, path, probes)
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col, exclude_id)
+
+
+# --- IVF (inverted-file) variant --------------------------------------------
+
+
+def ivf_centroids(emb: DataFrame, n_lists: int = 16, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
+    """Deterministic coarse quantizer: the ``n_lists`` lowest-id vectors
+    serve as medoids.  A k-means refinement would improve list balance but
+    make assignment engine-specific (iteration order, float reduction); a
+    fixed medoid set keeps the quantizer exactly replicable in ANSI SQL, so
+    the gate oracle re-derives it value-for-value.  At scale the medoid set
+    is a persisted artifact (``write_embeddings_ivf`` sidecar) — swap in
+    k-means centroids there without touching the probe path."""
+    rows = emb.select(id_col, vec_col).orderBy(id_col).limit(n_lists).collect()
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+
+
+def ivf_assign_col(vec_col: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """list_id = argmax_j cosine(v, c_j); smallest centroid id breaks ties
+    (struct max compares (sim, -cid) fieldwise)."""
+    entries = []
+    for cid, cv in centroids:
+        c = F.array(*[F.lit(float(x)) for x in cv])
+        entries.append(F.struct(
+            cosine(_as_double(vec_col), c).alias("sim"),
+            F.lit(-cid).alias("nid"),
+        ))
+    return (-F.array_max(F.array(*entries))["nid"]).cast("int")
+
+
+def _ivf_probes(query_vec: list[float],
+                centroids: list[tuple[int, list[float]]],
+                nprobe: int) -> list[int]:
+    """Top-``nprobe`` centroid ids by cosine to the query (id tie-break).
+    Pure-Python sequential fold — bit-identical to the Spark/DuckDB
+    left-to-right reductions (np.dot's BLAS summation order is NOT)."""
+    import math
+
+    qq = sum(x * x for x in query_vec)
+    scored = []
+    for cid, cv in centroids:
+        d = 0.0
+        for x, y in zip(query_vec, cv):
+            d += x * y
+        cc = sum(y * y for y in cv)
+        scored.append((-(d / (math.sqrt(qq) * math.sqrt(cc))), cid))
+    scored.sort()
+    return [cid for _, cid in scored[:nprobe]]
+
+
+def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+             n_lists: int = 16, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             exclude_id: int | None = None,
+             centroids: list[tuple[int, list[float]]] | None = None) -> DataFrame:
+    """IVF approximate top-k: assign every vector to its nearest centroid's
+    inverted list, score only the ``nprobe`` lists nearest the query —
+    ~N·nprobe/n_lists candidates.  This ad-hoc form recomputes assignments
+    per query (full scan); for repeated serving use
+    :func:`write_embeddings_ivf` + :func:`ivf_topk_partitioned` where the
+    probe is a partition-pruned read."""
+    if centroids is None:
+        centroids = ivf_centroids(emb, n_lists, id_col, vec_col)
+    probes = _ivf_probes(query_vec, centroids, nprobe)
+    cand = (
+        emb.withColumn("_list", ivf_assign_col(F.col(vec_col), centroids))
+        .filter(F.col("_list").isin(probes))
+    )
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col, exclude_id)
+
+
+def write_embeddings_ivf(emb: DataFrame, path: str, n_lists: int = 16,
+                         id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+    """Persist the embedding table partitioned by IVF list (inverted-file
+    layout), with the medoid quantizer pinned in ``_ivf_meta.json`` — the
+    100 TB serving layout: a probe reads only its ``list_id=`` dirs."""
+    import json
+    import os
+
+    centroids = ivf_centroids(emb, n_lists, id_col, vec_col)
+    (
+        emb.withColumn("list_id", ivf_assign_col(F.col(vec_col), centroids))
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(f"{path}/data")
+    )
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/_ivf_meta.json", "w") as fh:
+        json.dump({"centroids": centroids, "n_lists": n_lists}, fh)
+
+
+def read_embeddings_ivf_probed(spark, path: str, probes: list[int]) -> DataFrame:
+    """Partition-pruned read of the probed ``list_id=`` dirs only
+    (tests/test_plans.py asserts the pruning reaches the scan)."""
+    return spark.read.parquet(f"{path}/data").filter(F.col("list_id").isin(probes))
+
+
+def ivf_topk_partitioned(spark, path: str, query_vec: list[float], k: int = 10,
+                         nprobe: int = 2, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         exclude_id: int | None = None) -> DataFrame:
+    """Approximate top-k over a :func:`write_embeddings_ivf` table: the
+    probed lists are a partition-pruned scan, zero assignment recompute."""
+    import json
+
+    with open(f"{path}/_ivf_meta.json") as fh:
+        meta = json.load(fh)
+    centroids = [(int(c), [float(x) for x in v]) for c, v in meta["centroids"]]
+    probes = _ivf_probes(query_vec, centroids, nprobe)
+    cand = read_embeddings_ivf_probed(spark, path, probes)
     return brute_force_topk(cand, query_vec, k, id_col, vec_col, exclude_id)
 
 

@@ -174,3 +174,32 @@ def test_multiprobe_lsh_recall(spark):
                lsh_topk(emb, noisy, 3, n_planes=6, n_probes=4).collect()}
         hits += vid in got
     assert hits >= 9
+
+
+def test_ivf_partitioned_probe_prunes_and_matches_adhoc(spark, tmp_path):
+    """An IVF probe against the persisted inverted-file table must read
+    ONLY the probed list_id= directories, and return exactly what the
+    ad-hoc assign-everything path returns."""
+    from searchengine_spark.operators.ann import (
+        _ivf_probes, ivf_centroids, ivf_topk, ivf_topk_partitioned,
+        read_embeddings_ivf_probed, write_embeddings_ivf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    path = str(tmp_path / "emb_ivf")
+    write_embeddings_ivf(emb, path, n_lists=16)
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    probes = _ivf_probes(q, ivf_centroids(emb, 16), 2)
+
+    scan = read_embeddings_ivf_probed(spark, path, probes)
+    files = [r[0] for r in scan.select(F.input_file_name()).distinct().collect()]
+    assert files and all(
+        any(f"list_id={p}/" in f for p in probes) for f in files
+    )
+    assert "PartitionFilters" in _plan(scan)
+    got = [(r["vec_id"], r["cos_sim"]) for r in
+           ivf_topk_partitioned(spark, path, q, 10, nprobe=2, exclude_id=3).collect()]
+    want = [(r["vec_id"], r["cos_sim"]) for r in
+            ivf_topk(emb, q, 10, n_lists=16, nprobe=2, exclude_id=3).collect()]
+    assert got == want and got
