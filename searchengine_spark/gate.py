@@ -1026,6 +1026,23 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful STREAMING sessionization (``applyInPandasWithState``): the
+    events table is replayed as 3 time-ordered micro-batches and per-user
+    state carries the open session across batch boundaries
+    (streaming/sessionize.py).  Verified against the SAME DuckDB oracle as
+    the batch sessionizer — stream == batch == SQL.  Genuinely stateful:
+    cross-batch session stitching is additionally unit-tested with dense
+    synthetic bursts cut mid-session (tests/test_streaming_sessionize.py)."""
+    import tempfile
+
+    from .streaming.sessionize import run_sessionize_stream, stage_time_ordered
+
+    tmp = tempfile.mkdtemp(prefix="se_spark_sess_stream_")
+    stage_time_ordered(f"{sf_dir}/events.parquet", f"{tmp}/src", n_slices=3)
+    return run_sessionize_stream(spark, f"{tmp}/src", f"{tmp}/ckpt")
+
+
 SQL_SESSIONIZE = f"""
 WITH g AS (
   SELECT user_id, event_id, ts, value,
@@ -1111,6 +1128,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_dedup_cosine": q_embed_dedup,
     "embed_dedup_lsh": q_embed_dedup_lsh,
     "sessionize_events": q_sessionize,
+    "sessionize_stream": q_sessionize_stream,
 }
 
 ORACLE: dict[str, str] = {
@@ -1139,6 +1157,9 @@ ORACLE: dict[str, str] = {
     "html_extract": SQL_HTML_EXTRACT,
     "embed_dedup_cosine": SQL_EMBED_DEDUP,
     "sessionize_events": SQL_SESSIONIZE,
+    # the streaming sessionizer must equal the batch result exactly, so it
+    # shares the batch oracle verbatim (stream == batch == SQL):
+    "sessionize_stream": SQL_SESSIONIZE,
     # r2: the five previously rows-only queries now have full value oracles —
     # the sketch hash family is portable (md5-based universal hashing), the
     # LSH hyperplanes are shared literals, and the hourly window is compared
