@@ -236,6 +236,59 @@ def ivf_centroids(emb: DataFrame, n_lists: int = 16, id_col: str = "vec_id",
     return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
 
 
+def ivf_centroids_kmeans(emb: DataFrame, n_lists: int = 16, n_iter: int = 5,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         sample_fraction: float | None = None,
+                         seed: int = 42) -> list[tuple[int, list[float]]]:
+    """Spherical-k-means refinement of the fixed medoid seed (Lloyd
+    iterations; centroids re-normalized to unit length each round so
+    cosine-assignment stays an argmax of dot products).
+
+    Same ``[(cid, vector)]`` shape as :func:`ivf_centroids`, so it drops
+    into the :func:`write_embeddings_ivf` sidecar unchanged — the probe
+    path never knows which quantizer produced the pinned centroids.  The
+    per-iteration mean is a distributed posexplode + (list, pos) hash-agg
+    (n_lists*dim rows to the driver per round — centroid-sized, not
+    data-sized); at 100 TB pass ``sample_fraction`` to refine on a seeded
+    sample (quantizer quality needs only a sketch of the density, and
+    assignment of the full table happens once, at write time).
+
+    Kept OUT of the gate oracle on purpose: Lloyd means depend on float
+    reduction order, so the DuckDB twin pins the deterministic medoid
+    quantizer (``ivf_centroids``) instead; this refinement is
+    balance-and-recall-tested in pytest (tests/test_gate.py)."""
+    cents = ivf_centroids(emb, n_lists, id_col, vec_col)
+    v = emb.select(_as_double(F.col(vec_col)).alias("_v"))
+    if sample_fraction is not None:
+        v = v.sample(fraction=sample_fraction, seed=seed)
+    v = v.localCheckpoint()  # iterate over materialized rows, not the scan
+    dim = len(cents[0][1])
+    for _ in range(n_iter):
+        rows = (
+            v.withColumn("_list", ivf_assign_col(F.col("_v"), cents))
+            .select("_list", F.posexplode("_v").alias("_pos", "_x"))
+            .groupBy("_list", "_pos")
+            .agg(F.sum("_x").alias("_s"), F.count("*").alias("_n"))
+            .collect()
+        )
+        sums: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for r in rows:
+            sums.setdefault(r["_list"], [0.0] * dim)[r["_pos"]] = r["_s"]
+            counts[r["_list"]] = r["_n"]
+        new = []
+        for cid, old in cents:
+            if counts.get(cid):  # empty list keeps its old centroid
+                m = [s / counts[cid] for s in sums[cid]]
+                norm = sum(x * x for x in m) ** 0.5
+                if norm > 0:
+                    new.append((cid, [x / norm for x in m]))
+                    continue
+            new.append((cid, old))
+        cents = new
+    return cents
+
+
 def ivf_assign_col(vec_col: Column, centroids: list[tuple[int, list[float]]]) -> Column:
     """list_id = argmax_j cosine(v, c_j); smallest centroid id breaks ties
     (struct max compares (sim, -cid) fieldwise)."""
@@ -291,14 +344,25 @@ def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
 
 
 def write_embeddings_ivf(emb: DataFrame, path: str, n_lists: int = 16,
-                         id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         quantizer: str = "medoid",
+                         kmeans_iter: int = 5,
+                         sample_fraction: float | None = None) -> None:
     """Persist the embedding table partitioned by IVF list (inverted-file
-    layout), with the medoid quantizer pinned in ``_ivf_meta.json`` — the
-    100 TB serving layout: a probe reads only its ``list_id=`` dirs."""
+    layout), with the quantizer pinned in ``_ivf_meta.json`` — the 100 TB
+    serving layout: a probe reads only its ``list_id=`` dirs.
+
+    ``quantizer='medoid'`` (deterministic, SQL-replicable — the gate
+    oracle's twin) or ``'kmeans'`` (spherical Lloyd refinement for better
+    list balance; see :func:`ivf_centroids_kmeans`)."""
     import json
     import os
 
-    centroids = ivf_centroids(emb, n_lists, id_col, vec_col)
+    if quantizer == "kmeans":
+        centroids = ivf_centroids_kmeans(emb, n_lists, kmeans_iter, id_col,
+                                         vec_col, sample_fraction)
+    else:
+        centroids = ivf_centroids(emb, n_lists, id_col, vec_col)
     (
         emb.withColumn("list_id", ivf_assign_col(F.col(vec_col), centroids))
         .write.mode("overwrite")
@@ -307,7 +371,8 @@ def write_embeddings_ivf(emb: DataFrame, path: str, n_lists: int = 16,
     )
     os.makedirs(path, exist_ok=True)
     with open(f"{path}/_ivf_meta.json", "w") as fh:
-        json.dump({"centroids": centroids, "n_lists": n_lists}, fh)
+        json.dump({"centroids": centroids, "n_lists": n_lists,
+                   "quantizer": quantizer}, fh)
 
 
 def read_embeddings_ivf_probed(spark, path: str, probes: list[int]) -> DataFrame:
