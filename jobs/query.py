@@ -3,6 +3,11 @@
 
     spark-submit --py-files dist/searchengine_spark.zip jobs/query.py \
         --index /path/to/index --query "spark shuffle merge" -k 10
+
+``--query`` is repeatable: with several queries the job serves them through
+QueryEngine — one bucket-pruned prefetch collect warms every term, then
+each query scores driver-side with no further Spark job (broker serving
+shape).  A single query keeps the one-shot distributed path.
 """
 
 from __future__ import annotations
@@ -19,25 +24,47 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
-    ap.add_argument("--query", required=True)
+    ap.add_argument("--query", required=True, action="append",
+                    help="repeatable; >1 query serves via prefetch+QueryEngine")
     ap.add_argument("-k", type=int, default=10)
-    ap.add_argument("--mode", choices=["maxscore", "exhaustive"], default="maxscore")
+    ap.add_argument("--mode", choices=["auto", "maxscore", "bmw", "exhaustive"],
+                    default="maxscore")
     ap.add_argument("--conjunctive", action="store_true")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 
-    from searchengine_spark.index.wand import bm25_topk
+    from searchengine_spark.index.wand import QueryEngine, bm25_topk
     from searchengine_spark.session import get_spark
 
     spark = get_spark("query", cores=args.cores)
+    if len(args.query) == 1:
+        q = args.query[0]
+        t0 = time.perf_counter()
+        rows = bm25_topk(spark, args.index, q, args.k,
+                         mode=args.mode, conjunctive=args.conjunctive).collect()
+        dt = (time.perf_counter() - t0) * 1000
+        print(json.dumps({
+            "query": q, "latency_ms": round(dt, 1),
+            "hits": [{"doc_id": r["doc_id"], "score": round(r["score"], 4)}
+                     for r in rows],
+        }))
+        return
+
+    eng = QueryEngine(spark, args.index)
     t0 = time.perf_counter()
-    rows = bm25_topk(spark, args.index, args.query, args.k,
-                     mode=args.mode, conjunctive=args.conjunctive).collect()
-    dt = (time.perf_counter() - t0) * 1000
-    print(json.dumps({
-        "query": args.query, "latency_ms": round(dt, 1),
-        "hits": [{"doc_id": r["doc_id"], "score": round(r["score"], 4)} for r in rows],
-    }))
+    n_terms = eng.prefetch(args.query)
+    prefetch_ms = (time.perf_counter() - t0) * 1000
+    print(json.dumps({"prefetched_terms": n_terms,
+                      "prefetch_ms": round(prefetch_ms, 1)}))
+    for q in args.query:
+        t0 = time.perf_counter()
+        hits = eng.topk_rows(q, args.k, mode=args.mode,
+                             conjunctive=args.conjunctive)
+        dt = (time.perf_counter() - t0) * 1000
+        print(json.dumps({
+            "query": q, "latency_ms": round(dt, 1),
+            "hits": [{"doc_id": d, "score": round(s, 4)} for d, s in hits],
+        }))
 
 
 if __name__ == "__main__":

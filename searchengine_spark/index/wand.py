@@ -399,6 +399,58 @@ class QueryEngine:
                          conjunctive=conjunctive, index_df=self.index_df,
                          gdf_override=gdf)
 
+    def _fetch_terms(self, fetch: list[str], floor: int = 0) -> None:
+        """One bucket-pruned Spark collect for ``fetch`` lemmas; cache
+        DECODED TermPostings (global df baked in for idf) so the
+        lazily-decoded block caches survive across queries — a repeated
+        term costs neither a Spark job nor a varbyte decode.  ``floor``
+        keeps the CURRENT working set from evicting itself when it is
+        larger than the LRU bound."""
+        from pyspark.sql import functions as F
+
+        from .builder import hash_bucket
+
+        buckets = sorted({hash_bucket(x, self.meta["n_buckets"]) for x in fetch})
+        fetched = (
+            self.index_df.filter(F.col("bucket").isin(buckets))
+            .filter(F.col("lemma").isin(fetch))
+            .collect()
+        )
+        by_lemma: dict[str, list] = {t: [] for t in fetch}
+        for r in fetched:
+            by_lemma[r["lemma"]].append(r)
+        for lemma, rs in by_lemma.items():
+            gdf = (self._gdf.get(lemma) if self._gdf is not None
+                   else sum(int(r["df"]) for r in rs)) or 0
+            self._term_cache[lemma] = [
+                (
+                    lemma,
+                    int(r["segment"]),
+                    TermPostings(
+                        r["postings"], r["tfs"], r["dls"],
+                        [b.asDict() if hasattr(b, "asDict") else b
+                         for b in r["blocks"]],
+                        gdf,
+                    ),
+                    len(r["postings"]) + len(r["tfs"]) + len(r["dls"]),
+                )
+                for r in rs
+            ]
+        while len(self._term_cache) > max(self._term_cache_size, floor):
+            self._term_cache.popitem(last=False)
+
+    def prefetch(self, queries: list[str]) -> int:
+        """Warm the term cache for a whole query suite in ONE bucket-pruned
+        Spark job (round-4 backlog: cold first-query latency is one pruned
+        collect per query; a broker restart re-warms its expected workload
+        in a single scan instead).  Returns the number of lemmas fetched."""
+        self._check_fresh()
+        lemmas = sorted({t for q in queries for t in analyze(q)})
+        fetch = [t for t in lemmas if t not in self._term_cache]
+        if fetch:
+            self._fetch_terms(fetch, floor=len(lemmas))
+        return len(fetch)
+
     def topk_rows(self, query: str, k: int = 10, mode: str = "auto",
                   conjunctive: bool = False,
                   local_threshold_bytes: int = 64 << 20) -> list[tuple[int, float]]:
@@ -425,40 +477,7 @@ class QueryEngine:
             if t in self._term_cache:
                 self._term_cache.move_to_end(t)
         if fetch:
-            buckets = sorted({hash_bucket(x, self.meta["n_buckets"]) for x in fetch})
-            fetched = (
-                self.index_df.filter(F.col("bucket").isin(buckets))
-                .filter(F.col("lemma").isin(fetch))
-                .collect()
-            )
-            by_lemma: dict[str, list] = {t: [] for t in fetch}
-            for r in fetched:
-                by_lemma[r["lemma"]].append(r)
-            # cache DECODED TermPostings (global df baked in for idf): the
-            # lazily-decoded block caches then survive across queries, so a
-            # repeated term costs neither a Spark job nor a varbyte decode
-            for lemma, rs in by_lemma.items():
-                gdf = (self._gdf.get(lemma) if self._gdf is not None
-                       else sum(int(r["df"]) for r in rs)) or 0
-                self._term_cache[lemma] = [
-                    (
-                        lemma,
-                        int(r["segment"]),
-                        TermPostings(
-                            r["postings"], r["tfs"], r["dls"],
-                            [b.asDict() if hasattr(b, "asDict") else b
-                             for b in r["blocks"]],
-                            gdf,
-                        ),
-                        len(r["postings"]) + len(r["tfs"]) + len(r["dls"]),
-                    )
-                    for r in rs
-                ]
-            # never evict below the CURRENT query's working set: a query with
-            # more distinct lemmas than the cache bound would otherwise evict
-            # its own just-fetched terms before they're gathered below
-            while len(self._term_cache) > max(self._term_cache_size, len(qlemmas)):
-                self._term_cache.popitem(last=False)
+            self._fetch_terms(fetch, floor=len(qlemmas))
         entries = [e for t in qlemmas for e in self._term_cache.get(t, ())]
         if not entries:
             return []

@@ -246,3 +246,28 @@ def test_query_engine_invalidates_on_rebuild(spark, docs, tmp_path):
 
     hits = eng.topk_rows("zz_stale_marker", 5)  # same engine instance
     assert [d for d, _ in hits] == [5]
+
+
+def test_query_engine_prefetch_single_job_warms_suite(spark, index_dir):
+    """prefetch() warms a whole suite's terms in one bucket-pruned collect;
+    subsequent topk_rows hit only the driver cache (no further Spark jobs)
+    and return exactly what a non-prefetched engine returns."""
+    from searchengine_spark.index.wand import QueryEngine
+
+    queries = ["tamok velsor", "kw_rare_xyzzy tamok", "velsor"]
+    base = QueryEngine(spark, index_dir)
+    want = [base.topk_rows(q, 10) for q in queries]
+
+    eng = QueryEngine(spark, index_dir)
+    n = eng.prefetch(queries)
+    assert n == 4  # tamok, velsor, rare, xyzzy — analyzed + deduped
+    assert all(t in eng._term_cache for t in ("tamok", "velsor", "rare", "xyzzy"))
+
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = tracker.getJobIdsForGroup(None)
+    got = [eng.topk_rows(q, 10) for q in queries]
+    assert got == want
+    # no new Spark job ran for the prefetched queries
+    assert len(tracker.getJobIdsForGroup(None)) == len(jobs_before)
+    # second prefetch of the same suite is a no-op
+    assert eng.prefetch(queries) == 0
