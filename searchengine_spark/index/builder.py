@@ -56,6 +56,15 @@ if TYPE_CHECKING:
 
 K1, B = 1.2, 0.75  # pinned BM25 params baked into block-max weights
 
+DICT_SCHEMA = T.StructType(
+    [
+        T.StructField("lemma", T.StringType(), False),
+        T.StructField("df", T.LongType(), False),
+        T.StructField("segment", T.IntegerType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+    ]
+)
+
 INDEX_OUT_SCHEMA = T.StructType(
     [
         T.StructField("segment", T.IntegerType(), False),
@@ -377,12 +386,19 @@ def build_index(
     # O(rebuilt segments) — a column-pruned read-back of the fresh index
     # partitions (parquet never touches the postings bytes) under the same
     # dynamic-overwrite discipline as the data itself.
-    if has_data:
+    # Direct segment-path read with the explicit schema: no root listing,
+    # no footer inference, scan restricted to the rebuilt dirs by PATH (the
+    # same O(touched) discipline as the store's read_store(kbs=...)).  No
+    # repartition either — scan tasks already align with (segment, bucket)
+    # dirs, so the write needs no shuffle stage.
+    seg_paths = [p for s in missing
+                 for p in _glob.glob(f"{out_dir}/data/segment={s}")]
+    if has_data and seg_paths:
         (
-            spark.read.parquet(f"{out_dir}/data")
-            .filter(F.col("segment").isin(missing))
+            spark.read.schema(INDEX_OUT_SCHEMA)
+            .option("basePath", f"{out_dir}/data")
+            .parquet(*seg_paths)
             .select("lemma", "df", "segment", "bucket")
-            .repartition("segment", "bucket")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("segment", "bucket")
@@ -445,7 +461,9 @@ def read_index(spark: SparkSession, out_dir: str, lemmas: list[str] | None = Non
         meta = json.load(fh)
     if not _glob.glob(f"{out_dir}/data/segment=*"):
         return spark.createDataFrame([], INDEX_OUT_SCHEMA)
-    df = spark.read.parquet(f"{out_dir}/data")  # segment/bucket from dir names
+    # explicit schema: partition discovery still lists dirs, but no parquet
+    # footer sampling for schema inference (O(1) planning per read)
+    df = spark.read.schema(INDEX_OUT_SCHEMA).parquet(f"{out_dir}/data")
     if lemmas is not None:
         buckets = sorted({hash_bucket(x, meta["n_buckets"]) for x in lemmas})
         df = df.filter(F.col("bucket").isin(buckets)).filter(F.col("lemma").isin(lemmas))

@@ -302,12 +302,12 @@ def gdf_lookup(spark: SparkSession, index_dir: str, qlemmas: list[str],
 
     from pyspark.sql import functions as F
 
-    from .builder import hash_bucket
+    from .builder import DICT_SCHEMA, hash_bucket
 
     if not _glob.glob(f"{index_dir}/dict/segment=*"):
         return []  # missing OR emptied-corpus dict
     buckets = sorted({hash_bucket(x, meta["n_buckets"]) for x in qlemmas})
-    df = spark.read.parquet(f"{index_dir}/dict")
+    df = spark.read.schema(DICT_SCHEMA).parquet(f"{index_dir}/dict")
     rows = (
         df.filter(F.col("bucket").isin(buckets))
         .filter(F.col("lemma").isin(qlemmas))
@@ -377,9 +377,12 @@ class QueryEngine:
             from pyspark.sql import functions as F
 
             if os.path.isdir(f"{self.index_dir}/dict"):
+                from .builder import DICT_SCHEMA
+
                 self._gdf = {
                     r["lemma"]: int(r["gdf"])
-                    for r in self.spark.read.parquet(f"{self.index_dir}/dict")
+                    for r in self.spark.read.schema(DICT_SCHEMA)
+                    .parquet(f"{self.index_dir}/dict")
                     .groupBy("lemma").agg(F.sum("df").alias("gdf")).collect()
                 }
 
