@@ -135,6 +135,76 @@ def decode_images(media: DataFrame, impl: str = "fake",
     )
 
 
+def _fake_pcm(payload: bytes, n_samples: int):
+    """Deterministic fake audio decode: float32 PCM in [-1, 1] seeded by
+    sha256(payload) — the audio twin of :func:`_fake_pixels`."""
+    import numpy as np
+
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big") % (2**32)
+    rng = np.random.default_rng(seed)
+    return (rng.random(n_samples, dtype=np.float32) * 2.0) - 1.0
+
+
+def extract_audio_features(media: DataFrame, impl: str = "fake",
+                           frame: int = 512, n_bands: int = 32,
+                           seconds: float = 1.0) -> DataFrame:
+    """payload -> fixed-dim audio feature vector, schema
+    ``(media_id, sample_rate, features: array<float>)``.
+
+    Features per clip (all vectorized numpy over framed PCM): per-frame RMS
+    energy and zero-crossing rate (mean + std of each = 4 dims) followed by
+    an ``n_bands``-bin log-magnitude spectrum averaged over frames (rfft) —
+    a deterministic stand-in with the exact shape of a mel-filterbank
+    pipeline.  ``impl='librosa'`` is the real-decoder slot and raises
+    NotImplementedError by design (no audio libraries in this container);
+    the Arrow plumbing — iterator batches, payload never shuffled, fixed
+    ``array<float>`` width feeding operators/ann.py — is identical and
+    tested either way."""
+    narrowed = media.filter(F.col("kind") == "audio").select(
+        "media_id", "payload", "meta.sample_rate"
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if pdf.empty:
+                continue
+            feats = []
+            for payload, sr in zip(pdf["payload"], pdf["sample_rate"]):
+                if impl == "librosa":
+                    raise NotImplementedError(
+                        "real audio decode requires an audio library; run "
+                        "with impl='fake' in this container"
+                    )
+                n = max(frame, int(int(sr) * seconds))
+                pcm = _fake_pcm(bytes(payload), n - (n % frame))
+                frames = pcm.reshape(-1, frame)
+                rms = np.sqrt((frames ** 2).mean(axis=1))
+                zcr = (np.diff(np.signbit(frames), axis=1) != 0).mean(axis=1)
+                mag = np.abs(np.fft.rfft(frames, axis=1))[:, 1:]
+                bands = np.log1p(
+                    mag[:, : (mag.shape[1] // n_bands) * n_bands]
+                    .reshape(frames.shape[0], n_bands, -1)
+                    .mean(axis=2)
+                ).mean(axis=0)
+                f = np.concatenate([
+                    [rms.mean(), rms.std(), zcr.mean(), zcr.std()], bands,
+                ]).astype(np.float32)
+                feats.append(f.tolist())
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"],
+                 "sample_rate": pdf["sample_rate"],
+                 "features": feats}
+            )
+
+    return narrowed.mapInPandas(
+        _batches,
+        schema="media_id long, sample_rate int, features array<float>",
+    )
+
+
 def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame sampling: one row per sampled frame index (metadata-only
     planning stage — JVM-side sequence/explode, payload untouched and

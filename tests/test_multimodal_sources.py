@@ -95,3 +95,30 @@ def test_iceberg_fallback(spark, tmp_path, corpus_rows):
     spark.createDataFrame(corpus_rows[:10], DOCS_SCHEMA).write.parquet(p)
     df = load_docs(spark, p, fmt="iceberg")  # falls back to parquet contract
     assert df.count() == 10
+
+
+def test_audio_features_deterministic_fixed_dim(spark):
+    from searchengine_spark.operators.multimodal import extract_audio_features
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    audio = synthesize_media(docs, kind="audio").cache()
+    a = {r["media_id"]: r["features"]
+         for r in extract_audio_features(audio).collect()}
+    b = {r["media_id"]: r["features"]
+         for r in extract_audio_features(audio.repartition(5)).collect()}
+    assert a == b  # partitioning/batch-boundary independent
+    dims = {len(v) for v in a.values()}
+    assert dims == {4 + 32}  # rms/zcr mean+std, then 32 log-spectrum bands
+    assert len(a) == audio.count()
+    # features land as array<float> directly usable by operators/ann.py
+    assert all(isinstance(v[0], float) for v in a.values())
+    audio.unpersist()
+
+
+def test_audio_real_impl_is_stubbed(spark):
+    from searchengine_spark.operators.multimodal import extract_audio_features
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    audio = synthesize_media(docs.limit(1), kind="audio")
+    with pytest.raises(Exception, match="audio library|NotImplemented"):
+        extract_audio_features(audio, impl="librosa").collect()
