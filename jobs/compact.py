@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""spark-submit job: compact the docs store and fully rebuild its index.
+
+    spark-submit --py-files dist/searchengine_spark.zip jobs/compact.py \
+        --store /path/to/docs_store --index /path/to/index
+
+Deletes leave doc_id holes and streaming appends allocate ids after the
+existing max (nothing rank-shifts — O(touched) incremental rebuilds); this
+job is the OTHER half of that contract: periodically re-rank every key
+densely (``compact_store``) and rebuild the index from scratch over the
+compacted store (every doc_id may have moved, so all segments are dirty by
+definition).  Segment count is re-derived from the compacted doc count at
+the pinned seg_size, so an index shrunk by deletes also sheds empty
+segments.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--store", required=True)
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args()
+
+    from searchengine_spark.index.builder import build_index
+    from searchengine_spark.session import get_spark
+    from searchengine_spark.streaming import store as dstore
+
+    spark = get_spark("compact", cores=args.cores)
+    t0 = time.perf_counter()
+
+    with open(f"{args.index}/meta.json") as fh:
+        imeta = json.load(fh)
+    seg_size = int(imeta["seg_size"])
+
+    smeta = dstore.compact_store(spark, args.store)
+
+    # full rebuild: clear manifests (all segments dirty after re-ranking)
+    # and size the segment count to the compacted corpus
+    shutil.rmtree(f"{args.index}/manifests", ignore_errors=True)
+    docs = dstore.read_store(spark, args.store).localCheckpoint()
+    n = docs.count()
+    n_segments = max(1, -(-n // seg_size))
+    meta = build_index(
+        docs, args.index, n_segments=n_segments,
+        salt=int(imeta["salt"]), n_buckets=int(imeta["n_buckets"]),
+        block_size=int(imeta["block_size"]), resume=False,
+    )
+    print(json.dumps({
+        "mode": "compact", "store": smeta,
+        "index": {k: meta[k] for k in ("n_docs", "n_segments", "seg_size")},
+        "seconds": round(time.perf_counter() - t0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
