@@ -26,6 +26,36 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
+def run_compact(spark, store_dir: str, index_dir: str) -> dict:
+    """Compact ``store_dir`` to dense doc_ids and fully rebuild
+    ``index_dir`` over it (codec params pinned from the old meta; segment
+    count re-derived from the compacted corpus at the pinned seg_size)."""
+    from searchengine_spark.index.builder import build_index
+    from searchengine_spark.streaming import store as dstore
+
+    with open(f"{index_dir}/meta.json") as fh:
+        imeta = json.load(fh)
+    seg_size = int(imeta["seg_size"])
+
+    smeta = dstore.compact_store(spark, store_dir)
+
+    # full rebuild: clear manifests (all segments dirty after re-ranking)
+    # and size the segment count to the compacted corpus
+    shutil.rmtree(f"{index_dir}/manifests", ignore_errors=True)
+    docs = dstore.read_store(spark, store_dir).localCheckpoint()
+    n = docs.count()
+    n_segments = max(1, -(-n // seg_size))
+    meta = build_index(
+        docs, index_dir, n_segments=n_segments,
+        salt=int(imeta["salt"]), n_buckets=int(imeta["n_buckets"]),
+        block_size=int(imeta["block_size"]), resume=False,
+    )
+    return {
+        "mode": "compact", "store": smeta,
+        "index": {k: meta[k] for k in ("n_docs", "n_segments", "seg_size")},
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--store", required=True)
@@ -33,35 +63,13 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 
-    from searchengine_spark.index.builder import build_index
     from searchengine_spark.session import get_spark
-    from searchengine_spark.streaming import store as dstore
 
     spark = get_spark("compact", cores=args.cores)
     t0 = time.perf_counter()
-
-    with open(f"{args.index}/meta.json") as fh:
-        imeta = json.load(fh)
-    seg_size = int(imeta["seg_size"])
-
-    smeta = dstore.compact_store(spark, args.store)
-
-    # full rebuild: clear manifests (all segments dirty after re-ranking)
-    # and size the segment count to the compacted corpus
-    shutil.rmtree(f"{args.index}/manifests", ignore_errors=True)
-    docs = dstore.read_store(spark, args.store).localCheckpoint()
-    n = docs.count()
-    n_segments = max(1, -(-n // seg_size))
-    meta = build_index(
-        docs, args.index, n_segments=n_segments,
-        salt=int(imeta["salt"]), n_buckets=int(imeta["n_buckets"]),
-        block_size=int(imeta["block_size"]), resume=False,
-    )
-    print(json.dumps({
-        "mode": "compact", "store": smeta,
-        "index": {k: meta[k] for k in ("n_docs", "n_segments", "seg_size")},
-        "seconds": round(time.perf_counter() - t0, 2),
-    }))
+    out = run_compact(spark, args.store, args.index)
+    out["seconds"] = round(time.perf_counter() - t0, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

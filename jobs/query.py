@@ -27,6 +27,10 @@ def main() -> None:
     ap.add_argument("--query", required=True, action="append",
                     help="repeatable; >1 query serves via prefetch+QueryEngine")
     ap.add_argument("-k", type=int, default=10)
+    ap.add_argument("--site", default=None,
+                    help="scope to one repo (the reference's site= filter)")
+    ap.add_argument("--offset", type=int, default=0,
+                    help="pagination offset (the reference's offset=)")
     ap.add_argument("--mode", choices=["auto", "maxscore", "bmw", "exhaustive"],
                     default="maxscore")
     ap.add_argument("--conjunctive", action="store_true")
@@ -41,7 +45,8 @@ def main() -> None:
         q = args.query[0]
         t0 = time.perf_counter()
         rows = bm25_topk(spark, args.index, q, args.k,
-                         mode=args.mode, conjunctive=args.conjunctive).collect()
+                         mode=args.mode, conjunctive=args.conjunctive,
+                         site=args.site, offset=args.offset).collect()
         dt = (time.perf_counter() - t0) * 1000
         print(json.dumps({
             "query": q, "latency_ms": round(dt, 1),
@@ -59,7 +64,8 @@ def main() -> None:
     for q in args.query:
         t0 = time.perf_counter()
         hits = eng.topk_rows(q, args.k, mode=args.mode,
-                             conjunctive=args.conjunctive)
+                             conjunctive=args.conjunctive,
+                             site=args.site, offset=args.offset)
         dt = (time.perf_counter() - t0) * 1000
         print(json.dumps({
             "query": q, "latency_ms": round(dt, 1),

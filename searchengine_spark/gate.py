@@ -278,6 +278,87 @@ FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
 """
 
 
+# --- site-scoped search page: the FULL reference API shape ------------------
+# GET /api/search?query&site&offset&limit (ApiController.java:30-45): the
+# reference scopes EVERYTHING to the site when one is given — its lemma
+# table is per-site (J6), so df-threshold, candidates, and the max
+# normalizer are all computed within the site's pages.  Scope = the largest
+# source (deterministic tie-break by name) so the page is non-trivial at
+# every sf.
+
+
+def q_search_site_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    scope = (
+        docs.groupBy("source").agg(F.count("*").alias("_nd"))
+        .orderBy(F.desc("_nd"), F.asc("source")).limit(1)
+        .select(F.col("source").alias("_site"))
+    )
+    sdocs = (
+        docs.join(F.broadcast(scope), docs.source == F.col("_site"))
+        .drop("_site")
+    )
+    tf = (
+        _tokens(sdocs)
+        .filter(F.col("token").isin(SEARCH_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    kept = (
+        tf.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") < DF_THRESHOLD)
+        .select("token")
+    )
+    n_kept = kept.agg(F.count("*").alias("_n"))
+    cand = (
+        tf.join(F.broadcast(kept), "token")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_nm"), F.sum("tf").alias("abs_score"))
+        .crossJoin(F.broadcast(n_kept))
+        .filter((F.col("_nm") == F.col("_n")) & (F.col("_n") > 0))
+        .select("doc_id", "abs_score")
+    )
+    mx = cand.agg(F.max("abs_score").alias("_mx"))
+    return (
+        cand.crossJoin(F.broadcast(mx))
+        .select("doc_id", F.round(F.col("abs_score") / F.col("_mx"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .offset(2)
+        .limit(10)
+    )
+
+
+SQL_SEARCH_SITE_PAGE = f"""
+WITH site AS (
+  SELECT source FROM documents
+  GROUP BY source ORDER BY count(*) DESC, source LIMIT 1
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE source = (SELECT source FROM site)
+),
+tf AS (
+  SELECT doc_id, token, count(*)::BIGINT AS tf
+  FROM tok WHERE token IN ({_search_terms_sql})
+  GROUP BY doc_id, token
+),
+kept AS (
+  SELECT token FROM (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token)
+  WHERE df < {DF_THRESHOLD}
+),
+cand AS (
+  SELECT tf.doc_id, sum(tf.tf)::BIGINT AS abs_score
+  FROM tf JOIN kept USING (token)
+  GROUP BY tf.doc_id
+  HAVING count(*) = (SELECT count(*) FROM kept)
+)
+SELECT doc_id,
+       round(abs_score::DOUBLE / (SELECT max(abs_score) FROM cand), 4) AS score
+FROM cand ORDER BY score DESC, doc_id OFFSET 2 LIMIT 10
+"""
+
+
 # --- F11: proximity predicate (SQL-expressible two-word form) ---------------
 
 
@@ -1102,6 +1183,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dict_lookup": q_dict_lookup,
     "search_sumtf": q_search_sumtf,
     "search_bm25": q_search_bm25,
+    "search_site_page": q_search_site_page,
     "proximity_pair": q_proximity_pair,
     "snippet": q_snippet,
     "stats_per_source": q_stats_per_source,
@@ -1137,6 +1219,7 @@ ORACLE: dict[str, str] = {
     "dict_lookup": SQL_DICT_LOOKUP,
     "search_sumtf": SQL_SEARCH_SUMTF,
     "search_bm25": SQL_SEARCH_BM25,
+    "search_site_page": SQL_SEARCH_SITE_PAGE,
     "proximity_pair": SQL_PROXIMITY_PAIR,
     "snippet": SQL_SNIPPET,
     "stats_per_source": SQL_STATS_PER_SOURCE,

@@ -65,6 +65,15 @@ DICT_SCHEMA = T.StructType(
     ]
 )
 
+SITES_SCHEMA = T.StructType(
+    [
+        T.StructField("segment", T.IntegerType(), False),
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("lo", T.LongType(), False),
+        T.StructField("hi", T.LongType(), False),
+    ]
+)
+
 INDEX_OUT_SCHEMA = T.StructType(
     [
         T.StructField("segment", T.IntegerType(), False),
@@ -197,6 +206,7 @@ def build_index(
             if name.startswith("segment=") and int(name.split("=")[1]) >= n_segments:
                 shutil.rmtree(f"{out_dir}/data/{name}", ignore_errors=True)
                 shutil.rmtree(f"{out_dir}/dict/{name}", ignore_errors=True)
+                shutil.rmtree(f"{out_dir}/sites/{name}", ignore_errors=True)
                 p = f"{out_dir}/manifests/{name}.json"
                 if os.path.exists(p):
                     os.unlink(p)
@@ -361,6 +371,7 @@ def build_index(
     for s in missing:
         shutil.rmtree(f"{out_dir}/data/segment={s}", ignore_errors=True)
         shutil.rmtree(f"{out_dir}/dict/segment={s}", ignore_errors=True)
+        shutil.rmtree(f"{out_dir}/sites/segment={s}", ignore_errors=True)
 
     index_df = runs.groupBy("segment", "bucket").applyInPandas(_merge, schema=INDEX_OUT_SCHEMA)
     (
@@ -405,6 +416,40 @@ def build_index(
             .parquet(f"{out_dir}/dict")
         )
     timings["dict_s"] = round(__import__("time").perf_counter() - _t, 2)
+    _t = __import__("time").perf_counter()
+
+    # ---- sites sidecar: per-segment (repo, lo, hi) doc_id islands ---------
+    # Because ingest ranks doc_ids by (repo, path, commit), a repo's docs are
+    # contiguous runs in id space (the fresh-build prefix is ONE run per
+    # repo; each streaming append adds at most one tail run per repo per
+    # batch) — so the reference's `site=` search filter becomes an interval
+    # mask on candidate doc_ids at query time (wand.py), with NO join
+    # against a docs table.  Gaps-and-islands per (segment, repo):
+    # doc_id - row_number is constant exactly on a contiguous run.  Same
+    # O(rebuilt segments) dynamic-overwrite discipline as data/dict.
+    from pyspark.sql import Window as _W
+
+    sites = (
+        narrow.filter(seg_ranges_filter(missing, seg_size))
+        .withColumn("segment", seg_col)
+        .select("segment", "repo", "doc_id")
+        .withColumn(
+            "island",
+            F.col("doc_id") - F.row_number().over(
+                _W.partitionBy("segment", "repo").orderBy("doc_id")),
+        )
+        .groupBy("segment", "repo", "island")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .select("segment", "repo", "lo", "hi")
+    )
+    (
+        sites.repartition("segment")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("segment")
+        .parquet(f"{out_dir}/sites")
+    )
+    timings["sites_s"] = round(__import__("time").perf_counter() - _t, 2)
     _t = __import__("time").perf_counter()
 
     # ---- manifests: one grouped agg per side, single job each -------------
@@ -468,3 +513,30 @@ def read_index(spark: SparkSession, out_dir: str, lemmas: list[str] | None = Non
         buckets = sorted({hash_bucket(x, meta["n_buckets"]) for x in lemmas})
         df = df.filter(F.col("bucket").isin(buckets)).filter(F.col("lemma").isin(lemmas))
     return df
+
+
+def read_site_ranges(spark: SparkSession, out_dir: str,
+                     site: str) -> list[tuple[int, int]]:
+    """Doc_id intervals owned by ``site`` (repo), merged across segments —
+    the reference's `site=` search scope (SearchServiceImpl.java filters
+    hits to one site's pages) resolved to id ranges.  A site absent from
+    the sidecar (or an emptied index) returns [] — no pages, no hits.
+    The sites table is O(repos + append batches) rows: driver-collectable
+    by construction, one pruned read per (engine, site)."""
+    import glob as _glob
+
+    if not _glob.glob(f"{out_dir}/sites/segment=*"):
+        return []
+    rows = (
+        spark.read.schema(SITES_SCHEMA).parquet(f"{out_dir}/sites")
+        .filter(F.col("repo") == site)
+        .select("lo", "hi")
+        .collect()
+    )
+    merged: list[tuple[int, int]] = []
+    for lo, hi in sorted((int(r["lo"]), int(r["hi"])) for r in rows):
+        if merged and lo == merged[-1][1] + 1:  # runs split only by the
+            merged[-1] = (merged[-1][0], hi)    # segment boundary: rejoin
+        else:
+            merged.append((lo, hi))
+    return merged

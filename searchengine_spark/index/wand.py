@@ -155,6 +155,22 @@ def _score_ids(ids: np.ndarray, terms: list[TermPostings], idfs: list[float],
     return scores
 
 
+def _mask_ids(ids: np.ndarray,
+              intervals: list[tuple[int, int]] | None) -> np.ndarray:
+    """Keep only ids inside the sorted disjoint ``intervals`` (site scope).
+    ``None`` = no scope.  Vectorized: one searchsorted over interval lows."""
+    if intervals is None or ids.size == 0:
+        return ids
+    lo = np.fromiter((iv[0] for iv in intervals), dtype=np.int64,
+                     count=len(intervals))
+    hi = np.fromiter((iv[1] for iv in intervals), dtype=np.int64,
+                     count=len(intervals))
+    pos = np.searchsorted(lo, ids, side="right") - 1
+    ok = pos >= 0
+    ok[ok] &= ids[ok] <= hi[pos[ok]]
+    return ids[ok]
+
+
 def _topk(ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """top-k by (score desc, doc_id asc) — deterministic.
 
@@ -173,21 +189,33 @@ def _topk(ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.n
 
 def segment_topk(term_rows: list[dict], n_docs: int, avgdl: float, k: int,
                  k1: float = 1.2, b: float = 0.75, mode: str = "maxscore",
-                 conjunctive: bool = False) -> tuple[np.ndarray, np.ndarray]:
+                 conjunctive: bool = False,
+                 intervals: list[tuple[int, int]] | None = None,
+                 ) -> tuple[np.ndarray, np.ndarray]:
     """Local top-k for one segment.  ``term_rows``: dicts with df (global!),
     postings/tfs/dls/blocks for each query term present in the segment."""
     terms = [TermPostings(r["postings"], r["tfs"], r["dls"], r["blocks"], r["df"])
              for r in term_rows]
-    return segment_topk_terms(terms, n_docs, avgdl, k, k1, b, mode, conjunctive)
+    return segment_topk_terms(terms, n_docs, avgdl, k, k1, b, mode,
+                              conjunctive, intervals)
 
 
 def segment_topk_terms(terms: list[TermPostings], n_docs: int, avgdl: float,
                        k: int, k1: float = 1.2, b: float = 0.75,
                        mode: str = "maxscore",
-                       conjunctive: bool = False) -> tuple[np.ndarray, np.ndarray]:
+                       conjunctive: bool = False,
+                       intervals: list[tuple[int, int]] | None = None,
+                       ) -> tuple[np.ndarray, np.ndarray]:
     """Same as :func:`segment_topk` over PREBUILT ``TermPostings`` — the
     warm-serving path reuses cached objects so their lazily-decoded block
-    caches survive across queries (repeated terms never re-decode)."""
+    caches survive across queries (repeated terms never re-decode).
+
+    ``intervals`` (the builder's sites sidecar for one repo) scopes the
+    search to a site: every candidate list is masked at generation, so θ
+    comes from masked pass-1 scores (a subset of final candidates — still a
+    valid lower bound) and MaxScore/BMW pruning stays provably exact under
+    the mask (docs outside the essential union / dead intervals score below
+    θ whether masked or not)."""
     idfs = [_idf(n_docs, t.df) for t in terms]
     if not terms:
         z = np.zeros(0, dtype=np.int64)
@@ -207,7 +235,7 @@ def segment_topk_terms(terms: list[TermPostings], n_docs: int, avgdl: float,
         mode = "exhaustive" if min(sizes) * 4 >= max(sizes) else "maxscore"
 
     if conjunctive:
-        ids = terms[0].decode_all()[0]
+        ids = _mask_ids(terms[0].decode_all()[0], intervals)
         for t in terms[1:]:
             if ids.size == 0:
                 break  # early exit (SearchServiceImpl.java:136-138)
@@ -216,11 +244,13 @@ def segment_topk_terms(terms: list[TermPostings], n_docs: int, avgdl: float,
         return _topk(ids, _score_ids(ids, terms, idfs, k1, b, avgdl), k)
 
     if mode == "exhaustive" or len(terms) == 1:
-        all_ids = np.unique(np.concatenate([t.decode_all()[0] for t in terms]))
+        all_ids = _mask_ids(
+            np.unique(np.concatenate([t.decode_all()[0] for t in terms])),
+            intervals)
         return _topk(all_ids, _score_ids(all_ids, terms, idfs, k1, b, avgdl), k)
 
     # pass 1 (shared by maxscore/bmw): rarest term's postings scored exactly
-    c1 = terms[0].decode_all()[0]
+    c1 = _mask_ids(terms[0].decode_all()[0], intervals)
     s1 = _score_ids(c1, terms, idfs, k1, b, avgdl)
     if c1.size >= k:
         theta = np.partition(s1, -k)[-k]
@@ -240,7 +270,9 @@ def segment_topk_terms(terms: list[TermPostings], n_docs: int, avgdl: float,
         # MaxScore prunes whole terms — and filters ids to live intervals.
         # Exact: property-tested bit-identical to the exhaustive path.
         if not np.isfinite(theta):
-            cand = np.unique(np.concatenate([t.decode_all()[0] for t in terms]))
+            cand = _mask_ids(
+                np.unique(np.concatenate([t.decode_all()[0] for t in terms])),
+                intervals)
             return _topk(cand, _score_ids(cand, terms, idfs, k1, b, avgdl), k)
         pts = np.unique(np.concatenate(
             [np.concatenate([t.first, t.last + 1]) for t in terms]))
@@ -266,7 +298,7 @@ def segment_topk_terms(terms: list[TermPostings], n_docs: int, avgdl: float,
             blk_live = (pref[hi + 1] - pref[lo]) > 0
             for i in np.flatnonzero(blk_live):
                 parts.append(t.block(int(i))[0])
-        cand = np.unique(np.concatenate(parts))
+        cand = _mask_ids(np.unique(np.concatenate(parts)), intervals)
         cand = cand[live[np.searchsorted(pts, cand, side="right") - 1]]
         return _topk(cand, _score_ids(cand, terms, idfs, k1, b, avgdl), k)
 
@@ -286,9 +318,9 @@ def segment_topk_terms(terms: list[TermPostings], n_docs: int, avgdl: float,
         essential.add(int(i))
         excluded -= float(ubs[i])
     essential.add(0)  # rarest term always drives (its docs seed theta)
-    cand = np.unique(np.concatenate(
+    cand = _mask_ids(np.unique(np.concatenate(
         [terms[i].decode_all()[0] for i in sorted(essential)]
-    ))
+    )), intervals)
     return _topk(cand, _score_ids(cand, terms, idfs, k1, b, avgdl), k)
 
 
@@ -370,6 +402,7 @@ class QueryEngine:
         # pressure O(index)) — wrong default at 10^12 files.
         self.index_df = read_index(self.spark, self.index_dir).cache()
         self._term_cache: OrderedDict[str, list] = OrderedDict()
+        self._site_cache: dict[str, list[tuple[int, int]]] = {}
         self._gdf: dict[str, int] | None = None
         if self._preload_dict:
             import os
@@ -392,7 +425,8 @@ class QueryEngine:
             self._load()
 
     def topk(self, query: str, k: int = 10, mode: str = "auto",
-             conjunctive: bool = False) -> DataFrame:
+             conjunctive: bool = False, site: str | None = None,
+             offset: int = 0) -> DataFrame:
         self._check_fresh()
         gdf = None
         if self._gdf is not None:
@@ -400,7 +434,21 @@ class QueryEngine:
             gdf = {t: self._gdf[t] for t in qlemmas if t in self._gdf}
         return bm25_topk(self.spark, self.index_dir, query, k, mode=mode,
                          conjunctive=conjunctive, index_df=self.index_df,
-                         gdf_override=gdf)
+                         gdf_override=gdf, site=site, offset=offset,
+                         site_intervals=self._site(site))
+
+    def _site(self, site: str | None) -> list[tuple[int, int]] | None:
+        """Cached (repo -> doc_id intervals) lookup: one pruned sites-sidecar
+        read per (engine load, site) — fingerprint invalidation drops the
+        cache with the rest of the warm state."""
+        if site is None:
+            return None
+        if site not in self._site_cache:
+            from .builder import read_site_ranges
+
+            self._site_cache[site] = read_site_ranges(
+                self.spark, self.index_dir, site)
+        return self._site_cache[site]
 
     def _fetch_terms(self, fetch: list[str], floor: int = 0) -> None:
         """One bucket-pruned Spark collect for ``fetch`` lemmas; cache
@@ -456,7 +504,9 @@ class QueryEngine:
 
     def topk_rows(self, query: str, k: int = 10, mode: str = "auto",
                   conjunctive: bool = False,
-                  local_threshold_bytes: int = 64 << 20) -> list[tuple[int, float]]:
+                  local_threshold_bytes: int = 64 << 20,
+                  site: str | None = None,
+                  offset: int = 0) -> list[tuple[int, float]]:
         """Serving fast path: collect the (pruned, tiny) term rows to the
         driver and score them locally in numpy — one cheap collect instead
         of a shuffle + applyInPandas stage.  Falls back to the distributed
@@ -471,6 +521,10 @@ class QueryEngine:
         qlemmas = sorted(set(analyze(query)))
         if not qlemmas:
             return []
+        intervals = self._site(site)
+        if site is not None and not intervals:
+            return []  # unknown site owns no pages
+        kk = k + offset
         # driver-side LRU term cache: index immutable per fingerprint, so a
         # term's rows (postings bytes + blocks) are collected once and
         # repeated terms cost no Spark job at all; bounded so the cache
@@ -486,7 +540,8 @@ class QueryEngine:
             return []
         total = sum(nb for _, _, _, nb in entries)
         if total > local_threshold_bytes:
-            out = self.topk(query, k, mode, conjunctive).collect()
+            out = self.topk(query, k, mode, conjunctive,
+                            site=site, offset=offset).collect()
             return [(r["doc_id"], r["score"]) for r in out]
         n_terms = len({lemma for lemma, _, _, _ in entries})
         by_seg: dict[int, list[tuple[str, TermPostings]]] = {}
@@ -498,26 +553,36 @@ class QueryEngine:
                 continue
             ids, scores = segment_topk_terms(
                 [tp for _, tp in seg_terms], self.meta["n_docs"],
-                self.meta["avgdl"], k, self.meta["k1"], self.meta["b"],
-                mode, conjunctive,
+                self.meta["avgdl"], kk, self.meta["k1"], self.meta["b"],
+                mode, conjunctive, intervals,
             )
             merged.extend(zip(ids.tolist(), scores.tolist()))
         merged.sort(key=lambda t: (-t[1], t[0]))
-        return merged[:k]
+        return merged[offset:kk]
 
 
 def bm25_topk(spark: SparkSession, index_dir: str, query: str, k: int = 10,
               mode: str = "maxscore", conjunctive: bool = False,
               index_df: DataFrame | None = None,
-              gdf_override: dict[str, int] | None = None) -> DataFrame:
+              gdf_override: dict[str, int] | None = None,
+              site: str | None = None, offset: int = 0,
+              site_intervals: list[tuple[int, int]] | None = None) -> DataFrame:
     """Distributed top-k: partition-pruned index read -> per-segment numpy
     top-k (applyInPandas) -> global ordered merge.
 
     ``index_df``: pass a cached ``read_index(spark, dir)`` DataFrame to
-    amortize the scan across many queries (warm-path latency)."""
+    amortize the scan across many queries (warm-path latency).
+
+    ``site``/``offset`` complete the reference search API
+    (ApiController.java `GET /api/search?query&site&offset&limit`): the
+    site scope is the builder's (repo -> doc_id intervals) sidecar masked
+    into per-segment candidate generation — no join against a docs table —
+    and offset is served by taking top-(offset+k) per segment, then global
+    OFFSET/LIMIT.  ``site_intervals`` short-circuits the sidecar read for
+    callers that cache it (QueryEngine)."""
     from pyspark.sql import functions as F
 
-    from .builder import read_index
+    from .builder import read_index, read_site_ranges
 
     with open(f"{index_dir}/meta.json") as fh:
         meta = json.load(fh)
@@ -525,6 +590,11 @@ def bm25_topk(spark: SparkSession, index_dir: str, query: str, k: int = 10,
     empty = spark.createDataFrame([], "doc_id long, score double")
     if not qlemmas:
         return empty
+    intervals = site_intervals
+    if site is not None and intervals is None:
+        intervals = read_site_ranges(spark, index_dir, site)
+    if site is not None and not intervals:
+        return empty  # unknown site owns no pages
 
     if index_df is not None:
         idx = index_df.filter(F.col("lemma").isin(qlemmas))
@@ -556,8 +626,10 @@ def bm25_topk(spark: SparkSession, index_dir: str, query: str, k: int = 10,
              "dls": r.dls, "blocks": r.blocks}
             for r in pdf.itertuples()
         ]
-        ids, scores = segment_topk(rows, n_docs, avgdl, k, k1, b, mode, conjunctive)
+        ids, scores = segment_topk(rows, n_docs, avgdl, k + offset, k1, b,
+                                   mode, conjunctive, intervals)
         return pd.DataFrame({"doc_id": ids, "score": scores})
 
     local = idx.groupBy("segment").applyInPandas(_seg, schema="doc_id long, score double")
-    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    ordered = local.orderBy(F.desc("score"), F.asc("doc_id"))
+    return ordered.offset(offset).limit(k) if offset else ordered.limit(k)

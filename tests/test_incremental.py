@@ -422,3 +422,122 @@ def test_read_store_kbs_direct_path_pruning(spark, tmp_path):
     files = pruned.inputFiles()
     assert files and all("/kb=0/" in f or "/kb=3/" in f for f in files)
     assert pruned.schema == full.schema
+
+def test_compact_job_sheds_segments_and_matches_fresh_build(spark, tmp_path):
+    """jobs/compact.py end-to-end: after deletes leave id holes and appends
+    grow the tail, compaction re-ranks densely and the full rebuild (a) sheds
+    the now-empty tail segments everywhere (data/dict/manifests), (b) keeps
+    the pinned codec params, (c) serves EXACTLY what a fresh build over the
+    surviving corpus serves."""
+    import importlib.util
+    import os
+    from pathlib import Path
+
+    from searchengine_spark.streaming.store import (
+        delete_keys, init_store, merge_batch, read_store,
+    )
+
+    spec = importlib.util.spec_from_file_location(
+        "compact_job", Path(__file__).resolve().parents[1] / "jobs" / "compact.py")
+    compact_job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(compact_job)
+
+    rows = gen_corpus_local(60)
+    store = str(tmp_path / "store")
+    init_store(spark.createDataFrame(rows[:40], DOCS_SCHEMA), store, n_kb=8)
+    idx = str(tmp_path / "idx")
+    build_index(read_store(spark, store), idx, n_segments=4,
+                salt=4, n_buckets=4, resume=False)
+    with open(f"{idx}/meta.json") as fh:
+        seg_size = json.load(fh)["seg_size"]  # pinned: 40/4 = 10
+
+    # appends allocate past max id (span 60), deletes leave 30 holes
+    merge_batch(spark.createDataFrame(rows[40:], DOCS_SCHEMA), store,
+                seg_size=seg_size)
+    doomed = read_store(spark, store).select("repo", "path").limit(30)
+    delete_keys(doomed.localCheckpoint(), store, seg_size=seg_size)
+    survivors = {(r["repo"], r["path"])
+                 for r in read_store(spark, store).select("repo", "path").collect()}
+    assert len(survivors) == 30
+
+    out = compact_job.run_compact(spark, store, idx)
+    assert out["store"]["n_docs"] == 30 and out["store"]["max_doc_id"] == 29
+    assert out["index"]["n_segments"] == 3  # ceil(30/10): shed from 6 dirs
+    assert out["index"]["seg_size"] == seg_size
+
+    for sub in ("data", "dict", "sites"):
+        segs = {int(n.split("=")[1]) for n in os.listdir(f"{idx}/{sub}")
+                if n.startswith("segment=")}
+        assert segs == {0, 1, 2}, (sub, segs)
+    assert {m["segment"] for m in all_manifests(idx)} == {0, 1, 2}
+
+    # byte-level serving parity vs a fresh build over the surviving rows
+    fresh_rows = [r for r in rows if (r[0], r[1]) in survivors]
+    fresh_idx = str(tmp_path / "fresh")
+    build_index(ingest(spark.createDataFrame(fresh_rows, DOCS_SCHEMA)),
+                fresh_idx, n_segments=3, salt=4, n_buckets=4, resume=False)
+    any_hits = False
+    for q in ("tamok velsor", "parse index config"):
+        got = [(r["doc_id"], r["score"])
+               for r in bm25_topk(spark, idx, q, 10).collect()]
+        want = [(r["doc_id"], r["score"])
+                for r in bm25_topk(spark, fresh_idx, q, 10).collect()]
+        assert got == want, q
+        any_hits = any_hits or bool(got)
+    assert any_hits  # the parity above wasn't vacuous
+
+def test_site_scope_spans_appended_tail_runs(spark, tmp_path):
+    """Streaming appends give a repo NON-contiguous doc_id runs (its fresh
+    prefix + a tail run past max id).  The sites sidecar must carry both,
+    and a site-scoped query must see appended docs — while untouched
+    segments' sites partitions are not rewritten."""
+    from searchengine_spark.index.builder import read_site_ranges
+    from searchengine_spark.streaming.incremental import rebuild_segments
+    from searchengine_spark.streaming.store import (
+        init_store, merge_batch, read_store,
+    )
+
+    rows = gen_corpus_local(60)
+    store = str(tmp_path / "store")
+    init_store(spark.createDataFrame(rows[:50], DOCS_SCHEMA), store)
+    idx = str(tmp_path / "idx")
+    build_index(read_store(spark, store), idx, n_segments=5,
+                salt=4, n_buckets=4, resume=False)
+    with open(f"{idx}/meta.json") as fh:
+        seg_size = json.load(fh)["seg_size"]
+    import os as _os
+    seg0_sites_mtime = max(
+        _os.stat(f"{idx}/sites/segment=0/{f}").st_mtime_ns
+        for f in _os.listdir(f"{idx}/sites/segment=0"))
+
+    # append 10 new keys -> ids 50..59 (tail runs for their repos)
+    target = rows[50]
+    summary = merge_batch(spark.createDataFrame(rows[50:], DOCS_SCHEMA),
+                          store, seg_size=seg_size)
+    rebuild_segments(read_store(spark, store), idx, summary["dirty_segments"])
+
+    docs_now = read_store(spark, store)
+    repo = target[0]
+    ids = sorted(r["doc_id"] for r in
+                 docs_now.filter(docs_now.repo == repo).collect())
+    iv = read_site_ranges(spark, idx, repo)
+    assert {i for lo, hi in iv for i in range(lo, hi + 1)} == set(ids)
+    assert len(iv) >= 2 or all(i >= 50 for i in ids)  # prefix + tail run
+
+    # a term from an appended doc is findable under the site scope
+    appended = docs_now.filter(docs_now.doc_id >= 50).filter(
+        docs_now.repo == repo).collect()[0]
+    token = next(w for w in appended["content"].split() if len(w) > 4)
+    hits = bm25_topk(spark, idx, token, 60, site=repo).collect()
+    assert appended["doc_id"] in {r["doc_id"] for r in hits}
+    # scoping out the repo excludes its docs entirely
+    other = [r["repo"] for r in docs_now.select("repo").distinct().collect()
+             if r["repo"] != repo]
+    if other:
+        hits_other = bm25_topk(spark, idx, token, 60, site=other[0]).collect()
+        assert appended["doc_id"] not in {r["doc_id"] for r in hits_other}
+
+    # O(touched): segment 0 (untouched by the append) kept its sites files
+    now = max(_os.stat(f"{idx}/sites/segment=0/{f}").st_mtime_ns
+              for f in _os.listdir(f"{idx}/sites/segment=0"))
+    assert now == seg0_sites_mtime

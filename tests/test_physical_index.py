@@ -271,3 +271,87 @@ def test_query_engine_prefetch_single_job_warms_suite(spark, index_dir):
     assert len(tracker.getJobIdsForGroup(None)) == len(jobs_before)
     # second prefetch of the same suite is a no-op
     assert eng.prefetch(queries) == 0
+
+
+# ---- site scope + offset (reference GET /api/search?query&site&offset&limit)
+
+
+def _brute_site(spark, index_dir, docs, query, repo, k, offset=0,
+                conjunctive=False):
+    """Oracle: exhaustive full-corpus ranking -> filter to the repo's docs
+    via the ingested mapping -> page [offset, offset+k)."""
+    member = {r["doc_id"] for r in
+              docs.filter(docs.repo == repo).select("doc_id").collect()}
+    full = bm25_topk(spark, index_dir, query, k=docs.count(),
+                     mode="exhaustive", conjunctive=conjunctive).collect()
+    kept = [(r["doc_id"], r["score"]) for r in full if r["doc_id"] in member]
+    return kept[offset:offset + k]
+
+
+@pytest.mark.parametrize("mode", ["maxscore", "bmw", "exhaustive", "auto"])
+def test_site_filter_matches_brute_force(spark, index_dir, docs, mode):
+    """site= must return EXACTLY the top-k among that repo's docs, for every
+    pruning mode (the interval mask keeps MaxScore/BMW bounds valid)."""
+    repos = [r["repo"] for r in
+             docs.select("repo").distinct().limit(3).collect()]
+    for repo in repos:
+        for q in ("tamok velsor", "parse index config", "xyzzy"):
+            want = _brute_site(spark, index_dir, docs, q, repo, 5)
+            got = [(r["doc_id"], r["score"]) for r in
+                   bm25_topk(spark, index_dir, q, 5, mode=mode,
+                             site=repo).collect()]
+            assert got == want, (repo, q, mode)
+
+
+def test_site_filter_conjunctive_and_engine_fast_path(spark, index_dir, docs):
+    from searchengine_spark.index.wand import QueryEngine
+
+    repo = docs.select("repo").distinct().collect()[0]["repo"]
+    eng = QueryEngine(spark, index_dir)
+    for q, conj in (("tamok velsor", True), ("tamok velsor", False)):
+        want = _brute_site(spark, index_dir, docs, q, repo, 5,
+                           conjunctive=conj)
+        got = eng.topk_rows(q, 5, site=repo, conjunctive=conj)
+        assert [(d, round(s, 9)) for d, s in got] == \
+               [(d, round(s, 9)) for d, s in want], (q, conj)
+    # unknown site owns no pages -> [] on both paths
+    assert eng.topk_rows("tamok", 5, site="no/such-repo") == []
+    assert bm25_topk(spark, index_dir, "tamok", 5,
+                     site="no/such-repo").collect() == []
+
+
+def test_offset_pagination_is_a_slice_of_the_full_ranking(spark, index_dir,
+                                                          docs):
+    from searchengine_spark.index.wand import QueryEngine
+
+    q = "tamok velsor"
+    full = [(r["doc_id"], r["score"]) for r in
+            bm25_topk(spark, index_dir, q, 20, mode="exhaustive").collect()]
+    eng = QueryEngine(spark, index_dir)
+    for off, k in ((0, 5), (2, 3), (7, 10), (1000, 5)):
+        want = full[off:off + k]
+        got_d = [(r["doc_id"], r["score"]) for r in
+                 bm25_topk(spark, index_dir, q, k, offset=off).collect()]
+        got_w = eng.topk_rows(q, k, offset=off)
+        assert got_d == want, ("distributed", off, k)
+        assert got_w == want, ("warm", off, k)
+    # site + offset compose
+    repo = docs.select("repo").distinct().collect()[0]["repo"]
+    want = _brute_site(spark, index_dir, docs, q, repo, 3, offset=2)
+    assert eng.topk_rows(q, 3, site=repo, offset=2) == want
+
+
+def test_sites_sidecar_is_islands_of_the_ingest(spark, index_dir, docs):
+    """The sidecar's intervals must cover exactly the ingested (repo ->
+    doc_id) mapping — every repo, no overlaps, merged across segments."""
+    from searchengine_spark.index.builder import read_site_ranges
+
+    by_repo: dict[str, set] = {}
+    for r in docs.select("repo", "doc_id").collect():
+        by_repo.setdefault(r["repo"], set()).add(r["doc_id"])
+    for repo, ids in by_repo.items():
+        iv = read_site_ranges(spark, index_dir, repo)
+        covered = {i for lo, hi in iv for i in range(lo, hi + 1)}
+        assert covered == ids, repo
+        # fresh build: one contiguous run per repo once segments are merged
+        assert len(iv) == 1, (repo, iv)
