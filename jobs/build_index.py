@@ -35,11 +35,15 @@ def main() -> None:
     # UDFs) and the faster path measured at every core count; jvm is the
     # pure-Catalyst twin (tested equal)
     ap.add_argument("--analyzer", choices=["jvm", "arrow"], default="arrow")
+    ap.add_argument("--store", default=None,
+                    help="also init the kb-partitioned docs store here and "
+                         "build the index FROM it (ids guaranteed "
+                         "consistent; enables jobs/query.py --store DTOs)")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 
-    from searchengine_spark.corpus import corpus_df, ingest, sha256_invariant_ok
+    from searchengine_spark.corpus import corpus_df, ingest
     from searchengine_spark.session import get_spark
 
     spark = get_spark("build_index", cores=args.cores)
@@ -53,9 +57,17 @@ def main() -> None:
     t0 = time.perf_counter()
     # localCheckpoint, not .cache(): the SQL cache's compressed-columnar
     # re-scan into Arrow batches measured ~3x slower than checkpointed rows
-    docs = ingest(raw).localCheckpoint()
+    if args.store:
+        from searchengine_spark.streaming.store import init_store, read_store
+
+        init_store(raw, args.store)
+        docs = read_store(spark, args.store).localCheckpoint()
+    else:
+        docs = ingest(raw).localCheckpoint()
     n = docs.count()
-    assert sha256_invariant_ok(docs), "sha256 per-row invariant violated"
+    # sha256 per-row invariant: enforced INSIDE build_index, fused into its
+    # first aggregation (no separate O(corpus) action)
+    ingest_s = time.perf_counter() - t0
 
     from searchengine_spark.index.builder import build_index
 
@@ -65,6 +77,7 @@ def main() -> None:
         analyzer_impl=args.analyzer, resume=not args.no_resume,
     )
     dt = time.perf_counter() - t0
+    meta.setdefault("timings", {})["ingest_s"] = round(ingest_s, 2)
     print(json.dumps({
         "n_docs": n, "seconds": round(dt, 2),
         "files_per_sec": round(n / dt, 1), "meta": meta,

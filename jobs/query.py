@@ -27,6 +27,9 @@ def main() -> None:
     ap.add_argument("--query", required=True, action="append",
                     help="repeatable; >1 query serves via prefetch+QueryEngine")
     ap.add_argument("-k", type=int, default=10)
+    ap.add_argument("--store", default=None,
+                    help="docs-store dir: emit full reference DTO rows "
+                         "(site, uri, title, snippet, relevance)")
     ap.add_argument("--site", default=None,
                     help="scope to one repo (the reference's site= filter)")
     ap.add_argument("--offset", type=int, default=0,
@@ -37,8 +40,15 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 
+    from searchengine_spark.index.serve import enrich_hits
     from searchengine_spark.index.wand import QueryEngine, bm25_topk
     from searchengine_spark.session import get_spark
+
+    def _payload(q, hits):
+        if args.store is None:
+            return [{"doc_id": d, "score": round(s, 4)} for d, s in hits]
+        return [r.asDict() for r in
+                enrich_hits(spark, args.store, q, hits).collect()]
 
     spark = get_spark("query", cores=args.cores)
     if len(args.query) == 1:
@@ -50,8 +60,7 @@ def main() -> None:
         dt = (time.perf_counter() - t0) * 1000
         print(json.dumps({
             "query": q, "latency_ms": round(dt, 1),
-            "hits": [{"doc_id": r["doc_id"], "score": round(r["score"], 4)}
-                     for r in rows],
+            "hits": _payload(q, [(r["doc_id"], r["score"]) for r in rows]),
         }))
         return
 
@@ -69,7 +78,7 @@ def main() -> None:
         dt = (time.perf_counter() - t0) * 1000
         print(json.dumps({
             "query": q, "latency_ms": round(dt, 1),
-            "hits": [{"doc_id": d, "score": round(s, 4)} for d, s in hits],
+            "hits": _payload(q, hits),
         }))
 
 

@@ -186,7 +186,18 @@ def build_index(
     # (streaming/store.py delete_keys): a hole must not shrink the segment
     # range or the stale-segment cleanup below would drop live tail
     # segments.  Dense corpora: span == n_docs, behavior unchanged.
-    _c = narrow.agg(F.count("*").alias("n"), F.max("doc_id").alias("mx")).collect()[0]
+    # the sha256 per-row invariant (BASELINE.json input_hint) rides the SAME
+    # aggregation: checkpointed rows are full-width anyway (no column
+    # pruning to lose), so verifying EVERY row costs one sha2 per row here
+    # instead of a whole separate O(corpus) action per build
+    _c = narrow.agg(
+        F.count("*").alias("n"), F.max("doc_id").alias("mx"),
+        F.sum((F.sha2(F.col("content"), 256) != F.col("sha256")).cast("int"))
+        .alias("bad_sha"),
+    ).collect()[0]
+    if int(_c["bad_sha"] or 0):
+        raise ValueError(
+            f"sha256 per-row invariant violated on {_c['bad_sha']} rows")
     n_docs = int(_c["n"])
     id_span = (int(_c["mx"]) + 1) if _c["mx"] is not None else 0
     if old_meta is not None:

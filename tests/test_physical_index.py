@@ -355,3 +355,19 @@ def test_sites_sidecar_is_islands_of_the_ingest(spark, index_dir, docs):
         assert covered == ids, repo
         # fresh build: one contiguous run per repo once segments are merged
         assert len(iv) == 1, (repo, iv)
+
+
+def test_build_rejects_sha_invariant_violation(spark, docs, tmp_path):
+    """The per-row sha256 invariant (BASELINE.json input_hint) is enforced
+    inside build_index's first aggregation — a single corrupted row aborts
+    the build before anything is written."""
+    from pyspark.sql import functions as F
+
+    bad = docs.withColumn(
+        "sha256",
+        F.when(F.col("doc_id") == 0, F.lit("0" * 64)).otherwise(F.col("sha256")),
+    )
+    with pytest.raises(ValueError, match="sha256 per-row invariant"):
+        build_index(bad, str(tmp_path / "badidx"), n_segments=2, resume=False)
+    import os
+    assert not os.path.isdir(str(tmp_path / "badidx") + "/data")
