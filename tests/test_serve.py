@@ -65,3 +65,43 @@ def test_serve_page_site_scope_and_empty(spark, tmp_path):
         "doc_id", "site", "uri", "title", "snippet", "relevance"]
     # enrich_hits is usable standalone (single-query distributed path)
     assert enrich_hits(spark, store, QUERY, []).collect() == []
+
+
+def test_statistics_job_totals_and_detailed(spark, tmp_path):
+    """jobs/stats.py ≙ GET /api/statistics (TotalStatistics +
+    DetailedStatisticsItem): totals from the artifacts only; --detailed
+    per-site lemma counts equal a direct per-site distinct-token count."""
+    import importlib.util
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.analyzer import tokenize_jvm
+
+    spec = importlib.util.spec_from_file_location(
+        "stats_job", Path(__file__).resolve().parents[1] / "jobs" / "stats.py")
+    stats_job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(stats_job)
+
+    store, idx = _setup(spark, tmp_path)
+    docs = read_store(spark, store)
+    out = stats_job.statistics(spark, idx, detailed_lemmas=True)
+
+    n_repos = docs.select("repo").distinct().count()
+    assert out["total"]["sites"] == n_repos
+    assert out["total"]["pages"] == 40
+    assert out["total"]["indexing"] is False
+    assert out["total"]["lemmas"] > 0
+    assert len(out["detailed"]) == n_repos
+    pages_by_site = {r["repo"]: r["n"] for r in
+                     docs.groupBy("repo").agg(F.count("*").alias("n")).collect()}
+    # oracle: distinct analyzed lemmas per site, straight off the corpus
+    want_lemmas = {r["repo"]: r["n"] for r in
+                   tokenize_jvm(docs.select("repo", "doc_id", "content"),
+                                id_cols=["repo", "doc_id"])
+                   .select("repo", "lemma").distinct()
+                   .groupBy("repo").agg(F.count("*").alias("n")).collect()}
+    for item in out["detailed"]:
+        assert item["status"] == "INDEXED" and item["statusTime"]
+        assert item["pages"] == pages_by_site[item["url"]]
+        assert item["lemmas"] == want_lemmas[item["url"]]
