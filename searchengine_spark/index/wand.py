@@ -155,6 +155,18 @@ def _score_ids(ids: np.ndarray, terms: list[TermPostings], idfs: list[float],
     return scores
 
 
+def _overlapping_segments(intervals: list[tuple[int, int]],
+                          seg_size: int) -> set[int]:
+    """Segments whose doc_id range intersects any site interval — a
+    site-scoped query cannot match anywhere else (segment = doc_id //
+    seg_size by construction), so every other segment's partitions are
+    pruned from the scan / skipped in the warm merge."""
+    out: set[int] = set()
+    for lo, hi in intervals:
+        out.update(range(lo // seg_size, hi // seg_size + 1))
+    return out
+
+
 def _mask_ids(ids: np.ndarray,
               intervals: list[tuple[int, int]] | None) -> np.ndarray:
     """Keep only ids inside the sorted disjoint ``intervals`` (site scope).
@@ -544,8 +556,12 @@ class QueryEngine:
                             site=site, offset=offset).collect()
             return [(r["doc_id"], r["score"]) for r in out]
         n_terms = len({lemma for lemma, _, _, _ in entries})
+        live_segs = (_overlapping_segments(intervals, int(self.meta["seg_size"]))
+                     if intervals else None)
         by_seg: dict[int, list[tuple[str, TermPostings]]] = {}
         for lemma, seg, tp, _ in entries:
+            if live_segs is not None and seg not in live_segs:
+                continue  # site intervals cannot reach this segment
             by_seg.setdefault(seg, []).append((lemma, tp))
         merged: list[tuple[int, float]] = []
         for seg_terms in by_seg.values():
@@ -600,6 +616,11 @@ def bm25_topk(spark: SparkSession, index_dir: str, query: str, k: int = 10,
         idx = index_df.filter(F.col("lemma").isin(qlemmas))
     else:
         idx = read_index(spark, index_dir, qlemmas)
+    if intervals:
+        # partition pruning on segment=: a site's docs live only in the
+        # segments its intervals overlap
+        segs = sorted(_overlapping_segments(intervals, int(meta["seg_size"])))
+        idx = idx.filter(F.col("segment").isin(segs))
     # global df per lemma: preloaded dict (QueryEngine) > pruned read of the
     # build-time dictionary artifact > aggregate over index rows (legacy)
     if gdf_override is not None:

@@ -371,3 +371,32 @@ def test_build_rejects_sha_invariant_violation(spark, docs, tmp_path):
         build_index(bad, str(tmp_path / "badidx"), n_segments=2, resume=False)
     import os
     assert not os.path.isdir(str(tmp_path / "badidx") + "/data")
+
+
+def test_site_scope_prunes_segment_partitions(spark, index_dir, docs):
+    """A site-scoped distributed query must SCAN only the segment= dirs its
+    intervals overlap (partition pruning), and still return exactly the
+    brute-force page."""
+    import json as _json
+
+    from searchengine_spark.index.builder import read_site_ranges
+
+    with open(f"{index_dir}/meta.json") as fh:
+        seg_size = _json.load(fh)["seg_size"]
+    repo = docs.select("repo").distinct().orderBy("repo").collect()[0]["repo"]
+    iv = read_site_ranges(spark, index_dir, repo)
+    want_segs = {s for lo, hi in iv
+                 for s in range(lo // seg_size, hi // seg_size + 1)}
+    assert 0 < len(want_segs) < 3  # non-trivial pruning at 3 segments
+
+    df = bm25_topk(spark, index_dir, "tamok velsor", 5, site=repo)
+    got = [(r["doc_id"], r["score"]) for r in df.collect()]
+    assert got == _brute_site(spark, index_dir, docs, "tamok velsor", repo, 5)
+    # inputFiles() reports the pre-pruning listing; the proof of pruning is
+    # the scan's PartitionFilters clause
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"segment#\d+L? IN \(([0-9,]+)\)", plan)
+    assert m, plan[:500]
+    assert {int(s) for s in m.group(1).split(",")} == want_segs

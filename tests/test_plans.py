@@ -261,3 +261,24 @@ def test_ivf_kmeans_quantizer_balances_and_serves(spark, tmp_path):
             ivf_topk(emb, q, 10, nprobe=4, exclude_id=100, centroids=km).collect()]
     assert got == want and got
     emb.unpersist()
+
+
+def test_enrich_hits_scan_is_pushed_and_broadcast(spark, tmp_path):
+    """The DTO enrich step must (a) push the doc_id IN filter into the
+    store's parquet scan (row-group pruning over doc_id-sorted files — the
+    corpus is never read at query time) and (b) broadcast the <=k score
+    rows, never sort-merge."""
+    from searchengine_spark.corpus import gen_corpus_local
+    from searchengine_spark.index.serve import enrich_hits
+    from searchengine_spark.schema import DOCS_SCHEMA
+    from searchengine_spark.streaming.store import init_store
+
+    rows = gen_corpus_local(30)
+    store = str(tmp_path / "store")
+    init_store(spark.createDataFrame(rows, DOCS_SCHEMA), store)
+    dto = enrich_hits(spark, store, "tamok", [(3, 1.5), (11, 1.0)])
+    plan = _plan(dto)
+    assert "PushedFilters: [In(doc_id" in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and all("sha256" not in ln for ln in scan)  # pruned columns
