@@ -80,7 +80,7 @@ def main() -> None:
     out = tempfile.mkdtemp(prefix="bench_idx_")
     try:
         t0 = time.perf_counter()
-        docs = ingest(corpus_df(spark, BENCH_DOCS, partitions=cpus * 2)).localCheckpoint()
+        docs = ingest(corpus_df(spark, BENCH_DOCS, partitions=cpus * 2))
         n = docs.count()
         build_index(docs, out, n_segments=4, salt=8, n_buckets=16,
                     block_size=128, resume=False)

@@ -56,14 +56,16 @@ def main() -> None:
 
     t0 = time.perf_counter()
     # localCheckpoint, not .cache(): the SQL cache's compressed-columnar
-    # re-scan into Arrow batches measured ~3x slower than checkpointed rows
+    # re-scan into Arrow batches measured ~3x slower than checkpointed rows.
+    # ingest() already checkpoints internally (its tail past the checkpoint
+    # is a narrow JVM projection), so only the store path re-materializes.
     if args.store:
         from searchengine_spark.streaming.store import init_store, read_store
 
         init_store(raw, args.store)
         docs = read_store(spark, args.store).localCheckpoint()
     else:
-        docs = ingest(raw).localCheckpoint()
+        docs = ingest(raw)
     n = docs.count()
     # sha256 per-row invariant: enforced INSIDE build_index, fused into its
     # first aggregation (no separate O(corpus) action)

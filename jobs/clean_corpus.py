@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""spark-submit job: training-data cleaning pipeline over the corpus table.
+
+    spark-submit --py-files dist/searchengine_spark.zip jobs/clean_corpus.py \
+        --input /path/to/docs_parquet --out /path/to/cleaned
+
+Runs the declarative quality/lang/token keep filter + exact near-dup
+collapse (operators/pipeline.py) over the BASELINE.json input_hint shape
+(repo, path, commit, lang, content), writes the surviving full-width rows
+(with ingest's doc_id + sha256) as parquet partitioned by repo, and prints
+one JSON line of pipeline stats.  ``--synthetic N`` generates the
+deterministic corpus instead (bench/test).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="parquet dir of (repo,path,commit,lang,content)")
+    ap.add_argument("--synthetic", type=int, default=0)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--min-tokens", type=int, default=None)
+    ap.add_argument("--min-quality", type=float, default=None)
+    ap.add_argument("--keep-lang", default="any",
+                    help="'en' gates on the stopword lang-id; 'any' (default"
+                         " — source code has no English stopwords) skips it")
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args()
+
+    from searchengine_spark.corpus import corpus_df, ingest
+    from searchengine_spark.operators import pipeline as P
+    from searchengine_spark.session import get_spark
+
+    spark = get_spark("clean_corpus", cores=args.cores)
+    if args.synthetic:
+        raw = corpus_df(spark, args.synthetic)
+    elif args.input:
+        raw = spark.read.parquet(args.input)
+    else:
+        ap.error("need --input or --synthetic")
+
+    kw = dict(text_col="content", id_col="doc_id",
+              lang=None if args.keep_lang == "any" else args.keep_lang)
+    if args.min_tokens is not None:
+        kw["min_tokens"] = args.min_tokens
+    if args.min_quality is not None:
+        kw["min_quality"] = args.min_quality
+
+    t0 = time.perf_counter()
+    docs = ingest(raw)  # checkpoints internally; scoring scans it twice max
+    from pyspark.sql import functions as F
+
+    # one distributed agg for the funnel stats (all map-side until the
+    # single-row final combine)
+    s = P._scored(docs, "content", "doc_id")
+    mt = kw.get("min_tokens", P.MIN_TOKENS)
+    mq = kw.get("min_quality", P.MIN_QUALITY)
+    kl = kw["lang"]
+    lang_fail = F.lit(False) if kl is None else (F.col("pred_lang") != kl)
+    keep = (~lang_fail & (F.col("quality") >= mq)
+            & (F.col("n_tokens") >= mt))
+    funnel = s.agg(
+        F.count("*").alias("n_in"),
+        F.sum(keep.cast("long")).alias("n_kept_pre_dedup"),
+        F.sum(lang_fail.cast("long")).alias("drop_lang"),
+        F.sum((F.col("quality") < mq).cast("long")).alias("drop_quality"),
+        F.sum((F.col("n_tokens") < mt).cast("long")).alias("drop_tokens"),
+    ).collect()[0].asDict()
+
+    cleaned = P.clean_corpus_rows(docs, **kw)
+    cleaned.write.mode("overwrite").partitionBy("repo").parquet(args.out)
+    n_out = spark.read.parquet(args.out).count()
+    dt = time.perf_counter() - t0
+
+    funnel = {k: int(v or 0) for k, v in funnel.items()}
+    print(json.dumps({
+        **funnel,
+        "n_out": n_out,
+        "dups_removed": funnel["n_kept_pre_dedup"] - n_out,
+        "pct_kept": round(100.0 * n_out / max(funnel["n_in"], 1), 2),
+        "seconds": round(dt, 2),
+        "out": args.out,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -180,72 +180,94 @@ def corpus_df(spark: SparkSession, n_docs: int, seed: int = SEED,
 # --- ingest: deterministic doc_id + sha256 ----------------------------------
 
 
+class _PartCounts(object):
+    """AccumulatorParam for {partition_id: row_count} (lazy-imported base)."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        for k, v in b.items():
+            a[k] = a.get(k, 0) + v
+        return a
+
+
 def ingest(docs: DataFrame, key_partitions: int | None = None) -> DataFrame:
     """Add ``doc_id`` (global rank of (repo, path, commit)) and ``sha256``.
 
     Scale path: ONE range shuffle on the key, then a fully map-side rank
-    assignment — sort within partitions and add ``partition offset +
-    position`` via ``mapInArrow`` (a running counter across each
-    partition's Arrow batches; the content strings are never touched).
+    assignment — sort within partitions, append the per-partition position
+    via ``mapInArrow`` (a running counter across each partition's Arrow
+    batches; the content strings are never touched), and materialize ONCE
+    (localCheckpoint).  Per-partition row counts ride the SAME
+    materialization job as an accumulator (exactly-once: result-stage
+    accumulator updates are applied only for the first successful attempt
+    of each partition), so no separate counts job scans the corpus; the
+    global rank is then ``position + partition offset``, a pure-JVM
+    array-literal lookup over the checkpointed rows — cheap enough that
+    downstream consumers need no second materialization.
+
     Equivalent to one global row_number with no single-partition
-    bottleneck (SURVEY.md §4 item 4) and, critically, no SECOND shuffle: a
+    bottleneck (SURVEY.md §4 item 4) and no SECOND shuffle: a
     ``Window.partitionBy`` re-shuffle here was getting AQE-coalesced into
     ~64 MB chunks, silently capping every downstream map stage's
-    parallelism at 2-3 tasks regardless of core count.
+    parallelism at 2-3 tasks regardless of core count.  The checkpoint
+    also freezes the range partitioning: boundaries come from SAMPLING, so
+    separate executions of the same lineage can land rows in different
+    partitions — offsets and positions must come from ONE frozen
+    execution or doc_ids collide (observed at 40k docs).  At real scale
+    this materialization is a staging write to durable storage.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     key = ["repo", "path", "commit"]
-    nparts = key_partitions or docs.sparkSession.sparkContext.defaultParallelism
-    # MATERIALIZE the range partitioning once (localCheckpoint): the range
-    # boundaries come from SAMPLING, so two separate jobs over the same
-    # lineage can land rows in different partitions — the offsets job and
-    # the assignment job would then disagree and doc_ids would collide
-    # (observed at 40k docs).  Any single consistent partitioning yields
-    # correct global ranks (boundaries only move partition edges, not key
-    # order), so freezing one execution is sufficient.  At real scale this
-    # materialization is a staging write to durable storage instead.
-    ranged = (
-        docs.repartitionByRange(nparts, *key)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    # one narrow job to learn per-partition counts -> offsets (tiny, driver-side)
-    counts = {r["_pid"]: r["n"] for r in
-              ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    sc = docs.sparkSession.sparkContext
+    nparts = key_partitions or sc.defaultParallelism
 
+    ranged = docs.repartitionByRange(nparts, *key).withColumn(
+        "_pid", F.spark_partition_id())
     out_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in ranged.schema.fields
     )
 
-    def _assign(batches):
+    counts_acc = sc.accumulator({}, _PartCounts())
+
+    def _position(batches):
         import pyarrow as pa
 
         seen = 0
-        base = None
+        pid = None
         for b in batches:
             if b.num_rows == 0:
                 continue
-            if base is None:
+            if pid is None:
                 pid = b.column(b.schema.get_field_index("_pid"))[0].as_py()
-                base = offsets[pid]
-            ids = pa.array(
-                range(base + seen, base + seen + b.num_rows), type=pa.int64()
-            )
+            ids = pa.array(range(seen, seen + b.num_rows), type=pa.int64())
             seen += b.num_rows
-            yield b.append_column(pa.field("doc_id", pa.int64()), ids)
+            yield b.append_column(pa.field("_lpos", pa.int64()), ids)
+        if pid is not None:
+            counts_acc.add({int(pid): seen})
 
-    out = (
+    staged = (
         ranged.sortWithinPartitions(*key)
-        .mapInArrow(_assign, schema=f"{out_fields}, doc_id long")
+        .mapInArrow(_position, schema=f"{out_fields}, _lpos long")
         .withColumn("sha256", F.sha2(F.col("content"), 256))
-        .drop("_pid")
+        .localCheckpoint()  # the ONLY corpus materialization in ingest
     )
-    return out
+    counts = dict(counts_acc.value)
+    offsets, acc = [], 0
+    for pid in range(staged.rdd.getNumPartitions()):
+        offsets.append(acc)
+        acc += counts.get(pid, 0)
+    # offset-by-pid as a JVM array-literal lookup (0-based getItem) — on a
+    # 10k+-partition cluster build this would be a broadcast join instead
+    off = F.array(*[F.lit(o) for o in offsets]) if offsets else F.array(F.lit(0))
+    return (
+        staged.withColumn("doc_id", (F.col("_lpos") + off[F.col("_pid")])
+                          .cast(LongType()))
+        .select(*docs.columns, "doc_id", "sha256")
+    )
 
 
 def sha256_invariant_ok(ingested: DataFrame) -> bool:

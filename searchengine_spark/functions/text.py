@@ -40,14 +40,21 @@ def token_count_bpe(text_col: Column) -> Column:
     return F.size(F.regexp_extract_all(text_col, F.lit(BPE_SPLIT_RE), F.lit(0))).cast("long")
 
 
+def _nt1(text_col: Column) -> Column:
+    """Token count clamped to >=1: zero-token docs (empty content) must
+    yield a ratio, not an ANSI DIVIDE_BY_ZERO — they are dropped by the
+    pipeline's token gate anyway.  Mirrored in every oracle SQL twin."""
+    return F.greatest(token_count(text_col), F.lit(1))
+
+
 def chars_per_token(text_col: Column) -> Column:
-    return F.round(F.length(text_col).cast("double") / token_count(text_col), 4)
+    return F.round(F.length(text_col).cast("double") / _nt1(text_col), 4)
 
 
 def stopword_ratio(text_col: Column, stops: tuple[str, ...] = EN_STOPWORDS) -> Column:
     stop_arr = F.array(*[F.lit(s) for s in stops])
     n_stop = F.size(F.filter(tokens_col(text_col), lambda t: F.array_contains(stop_arr, t)))
-    return F.round(n_stop.cast("double") / token_count(text_col), 4)
+    return F.round(n_stop.cast("double") / _nt1(text_col), 4)
 
 
 def punct_ratio(text_col: Column) -> Column:
@@ -64,7 +71,7 @@ def quality_score(text_col: Column) -> Column:
     plausible word lengths.  Weights pinned (mirrored in the oracle SQL)."""
     len_ok = F.least(F.length(text_col).cast("double") / 200.0, F.lit(1.0))
     punct_ok = F.lit(1.0) - F.least(punct_ratio(text_col) * 5.0, F.lit(1.0))
-    cpt = F.length(text_col).cast("double") / token_count(text_col)
+    cpt = F.length(text_col).cast("double") / _nt1(text_col)
     word_ok = F.when((cpt >= 3.0) & (cpt <= 12.0), 1.0).otherwise(0.5)
     return F.round(0.4 * len_ok + 0.3 * punct_ok + 0.3 * word_ok, 4)
 

@@ -827,11 +827,11 @@ WITH base AS (
 )
 SELECT doc_id,
        nt::BIGINT AS n_tokens,
-       round(nc::DOUBLE / nt, 4) AS chars_per_token,
-       round(ns::DOUBLE / nt, 4) AS stop_ratio,
+       round(nc::DOUBLE / greatest(nt, 1), 4) AS chars_per_token,
+       round(ns::DOUBLE / greatest(nt, 1), 4) AS stop_ratio,
        round(0.4 * least(nc::DOUBLE / 200.0, 1.0)
              + 0.3 * (1.0 - least(round(np::DOUBLE / greatest(nc, 1), 4) * 5.0, 1.0))
-             + 0.3 * (CASE WHEN nc::DOUBLE / nt BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END),
+             + 0.3 * (CASE WHEN nc::DOUBLE / greatest(nt, 1) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END),
              4) AS quality
 FROM base
 """
@@ -869,9 +869,52 @@ SQL_LANG_ID = f"""
 SELECT doc_id,
        CASE WHEN round(
          len(list_filter(string_split(text, ' '), t -> t IN ({_stops_sql})))::DOUBLE
-         / len(list_filter(string_split(text, ' '), t -> t <> '')), 4) >= 0.04
+         / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1), 4) >= 0.04
        THEN 'en' ELSE 'other' END AS pred_lang
 FROM documents
+"""
+
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data cleaning pipeline in ONE declarative plan
+    (operators/pipeline.py): quality + lang-id + token-budget keep filter,
+    then exact near-dup collapse on the normalized fingerprint.  Filters are
+    map-side (fused into the scan); the only shuffle is the fingerprint
+    hash-agg over the surviving fraction."""
+    from .operators.pipeline import clean_corpus_summary
+
+    return clean_corpus_summary(_load(spark, sf_dir, "documents"))
+
+
+SQL_CLEAN_CORPUS = f"""
+WITH scored AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+         len(list_filter(string_split(text, ' '), t -> t <> ''))::BIGINT AS nt,
+         length(text) AS nc,
+         len(list_filter(string_split(text, ' '), t -> t IN ({_stops_sql}))) AS ns,
+         length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS np
+  FROM documents
+),
+q AS (
+  SELECT doc_id, fp, nt AS n_tokens,
+         round(0.4 * least(nc::DOUBLE / 200.0, 1.0)
+               + 0.3 * (1.0 - least(round(np::DOUBLE / greatest(nc, 1), 4) * 5.0, 1.0))
+               + 0.3 * (CASE WHEN nc::DOUBLE / greatest(nt, 1) BETWEEN 3.0 AND 12.0
+                        THEN 1.0 ELSE 0.5 END), 4) AS quality,
+         CASE WHEN round(ns::DOUBLE / greatest(nt, 1), 4) >= 0.04
+              THEN 'en' ELSE 'other' END AS pred_lang
+  FROM scored
+),
+kept AS (
+  SELECT * FROM q
+  WHERE pred_lang = 'en' AND quality >= 0.5 AND n_tokens >= 10
+)
+SELECT fp, min(doc_id)::BIGINT AS keep_id,
+       arg_min(n_tokens, doc_id)::BIGINT AS n_tokens,
+       arg_min(quality, doc_id) AS quality,
+       count(*)::BIGINT AS n_dups
+FROM kept GROUP BY fp
 """
 
 
@@ -1202,6 +1245,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count": q_token_count,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "clean_corpus": q_clean_corpus,
     "set_intersect": q_set_intersect,
     "set_union_distinct": q_set_union_distinct,
     "scalar_funcs": q_scalar_funcs,
@@ -1234,6 +1278,7 @@ ORACLE: dict[str, str] = {
     "token_count": SQL_TOKEN_COUNT,
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,
+    "clean_corpus": SQL_CLEAN_CORPUS,
     "set_intersect": SQL_SET_INTERSECT,
     "set_union_distinct": SQL_SET_UNION,
     "scalar_funcs": SQL_SCALAR_FUNCS,

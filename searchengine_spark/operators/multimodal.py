@@ -135,6 +135,48 @@ def decode_images(media: DataFrame, impl: str = "fake",
     )
 
 
+def resize_images(media: DataFrame, target: tuple[int, int] = (64, 64),
+                  impl: str = "fake") -> DataFrame:
+    """Standalone resize stage: payload -> decoded -> nearest-neighbor
+    resampled -> re-encoded raw-RGB payload (the store-the-thumbnail
+    pipeline step), schema ``(media_id, width, height, payload:binary)``
+    with width/height = the new dims.  Payload bytes stay inside their
+    partition (one mapInPandas, no shuffle); ``impl='pil'`` is the real
+    decoder slot (NotImplementedError — no Pillow in this container)."""
+    narrowed = media.select("media_id", "payload", "meta.width", "meta.height")
+    tw, th = target
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if pdf.empty:
+                continue
+            payloads = []
+            for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                if impl == "pil":
+                    raise NotImplementedError(
+                        "real image resize requires Pillow; run with "
+                        "impl='fake' in this container"
+                    )
+                px = _fake_pixels(bytes(payload), int(w), int(h))
+                yi = (np.linspace(0, px.shape[0] - 1, th)).astype(int)
+                xi = (np.linspace(0, px.shape[1] - 1, tw)).astype(int)
+                payloads.append(px[yi][:, xi].tobytes())
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"],
+                 "width": [tw] * len(payloads),
+                 "height": [th] * len(payloads),
+                 "payload": payloads}
+            )
+
+    return narrowed.mapInPandas(
+        _batches,
+        schema="media_id long, width int, height int, payload binary",
+    )
+
+
 def _fake_pcm(payload: bytes, n_samples: int):
     """Deterministic fake audio decode: float32 PCM in [-1, 1] seeded by
     sha256(payload) — the audio twin of :func:`_fake_pixels`."""

@@ -1,0 +1,89 @@
+"""End-to-end training-data cleaning pipeline (scale extension, no
+reference analog — the reference indexes everything it crawls; an LLM-data
+pipeline FILTERS first).
+
+One declarative plan composing the text-analysis family
+(``functions/text.py``): quality scoring + stopword lang-id + token budget
+→ keep filter → exact near-dup collapse on the normalized content
+fingerprint.  100 TB shape: the score/filter stage is a single
+whole-stage-codegen projection fused into the scan (zero Python, filters
+evaluated map-side so rejected docs never shuffle); the ONLY shuffle is the
+final partial+final hash-agg on the md5 fingerprint, whose input is already
+cut to the surviving fraction.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    fingerprint,
+    lang_id_en,
+    quality_score,
+    token_count,
+)
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+
+# Pinned keep thresholds (mirrored in the gate oracle SQL).
+MIN_TOKENS = 10
+MIN_QUALITY = 0.5
+KEEP_LANG = "en"
+
+
+def _scored(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        fingerprint(F.col(text_col)).alias("fp"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        quality_score(F.col(text_col)).alias("quality"),
+        lang_id_en(F.col(text_col)).alias("pred_lang"),
+    )
+
+
+def _kept(docs: DataFrame, text_col: str, id_col: str,
+          min_tokens: int, min_quality: float, lang: str | None) -> DataFrame:
+    """``lang=None`` skips the language gate (code corpora have no English
+    stopwords; quality/token gates still apply)."""
+    s = _scored(docs, text_col, id_col)
+    pred = (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+    if lang is not None:
+        pred = (F.col("pred_lang") == lang) & pred
+    return s.filter(pred)
+
+
+def clean_corpus_summary(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", min_tokens: int = MIN_TOKENS,
+                         min_quality: float = MIN_QUALITY,
+                         lang: str | None = KEEP_LANG) -> DataFrame:
+    """Survivor summary per fingerprint group: the kept doc (min id), its
+    token/quality stats, and the duplicate count it absorbed."""
+    return (
+        _kept(docs, text_col, id_col, min_tokens, min_quality, lang)
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+            F.min_by("quality", "doc_id").alias("quality"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def clean_corpus_rows(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", min_tokens: int = MIN_TOKENS,
+                      min_quality: float = MIN_QUALITY,
+                      lang: str | None = KEEP_LANG) -> DataFrame:
+    """The cleaned corpus itself: full-width surviving rows (one per
+    fingerprint group, the min-id member), via a left-semi join of the
+    source against the survivor ids — the wide content column is scanned
+    once and never shuffled (the semi-join build side is ids only)."""
+    keep_ids = (
+        clean_corpus_summary(docs, text_col, id_col,
+                             min_tokens, min_quality, lang)
+        .select(F.col("keep_id").alias(id_col))
+    )
+    return docs.join(keep_ids, id_col, "left_semi").select(*docs.columns)

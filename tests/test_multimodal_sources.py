@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from searchengine_spark.operators.multimodal import (
     decode_images,
@@ -122,3 +123,34 @@ def test_audio_real_impl_is_stubbed(spark):
     audio = synthesize_media(docs.limit(1), kind="audio")
     with pytest.raises(Exception, match="audio library|NotImplemented"):
         extract_audio_features(audio, impl="librosa").collect()
+
+
+def test_resize_images_roundtrip_contract(spark):
+    from searchengine_spark.operators.multimodal import resize_images
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = synthesize_media(docs.limit(20), kind="image").cache()
+    out = {r["media_id"]: r for r in resize_images(media, target=(16, 12)).collect()}
+    assert len(out) == 20
+    # every thumbnail is exactly the target raw-RGB byte size and dims
+    assert all(r["width"] == 16 and r["height"] == 12 for r in out.values())
+    assert all(len(bytes(r["payload"])) == 16 * 12 * 3 for r in out.values())
+    # deterministic + partitioning independent
+    again = {r["media_id"]: bytes(r["payload"])
+             for r in resize_images(media.repartition(7), target=(16, 12)).collect()}
+    assert again == {k: bytes(v["payload"]) for k, v in out.items()}
+    # resize output chains back into decode_images' input shape
+    rechained = resize_images(media, target=(16, 12)).select(
+        "media_id", "payload",
+        F.struct("width", "height").alias("meta"))
+    assert {f.name for f in rechained.schema} == {"media_id", "payload", "meta"}
+    media.unpersist()
+
+
+def test_resize_real_impl_is_stubbed(spark):
+    from searchengine_spark.operators.multimodal import resize_images
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = synthesize_media(docs.limit(1), kind="image")
+    with pytest.raises(Exception, match="Pillow|NotImplemented"):
+        resize_images(media, impl="pil").collect()

@@ -1,0 +1,65 @@
+"""clean_corpus training-data pipeline (operators/pipeline.py): keep-filter
+semantics against the planted corpus markers, dedup keep-min-id, full-width
+output contract, and the 100 TB plan shape (map-side filter, single agg
+shuffle, no Python)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.pipeline import (
+    clean_corpus_rows,
+    clean_corpus_summary,
+)
+
+
+def test_clean_corpus_rows_markers_and_dedup(spark, docs, corpus_rows):
+    n = len(corpus_rows)
+    out = clean_corpus_rows(docs, text_col="content", id_col="doc_id",
+                            lang=None)
+    got = {r["doc_id"]: r for r in out.collect()}
+
+    by_key = {r["doc_id"]: r for r in docs.collect()}
+    empty_ids = [d for d, r in by_key.items() if r["content"] == ""]
+    assert empty_ids and not any(d in got for d in empty_ids)
+
+    # the planted duplicate pair (doc 0's content in another repo) collapses
+    # to the min doc_id member
+    fp = {}
+    for d, r in by_key.items():
+        key = hashlib.md5(" ".join(r["content"].lower().split()).encode()
+                          ).hexdigest()
+        fp.setdefault(key, []).append(d)
+    dup_groups = [sorted(v) for v in fp.values() if len(v) > 1 and
+                  by_key[v[0]]["content"]]
+    assert dup_groups  # the corpus plants one
+    for grp in dup_groups:
+        assert grp[0] in got and not any(d in got for d in grp[1:])
+
+    # full-width contract: original columns + ingest's doc_id/sha256
+    assert out.columns == docs.columns
+    assert 0 < len(got) < n
+
+
+def test_clean_corpus_summary_counts(spark, docs):
+    summ = {r["fp"]: r for r in
+            clean_corpus_summary(docs, text_col="content", id_col="doc_id",
+                                 lang=None).collect()}
+    dups = [r for r in summ.values() if r["n_dups"] > 1]
+    assert dups and all(r["keep_id"] >= 0 for r in dups)
+    rows = clean_corpus_rows(docs, text_col="content", id_col="doc_id",
+                             lang=None).count()
+    assert rows == len(summ)
+
+
+def test_clean_corpus_plan_shape(spark, docs):
+    """Scale contract: no Python eval anywhere, exactly ONE exchange for the
+    summary (the fingerprint hash-agg — filters stay map-side), and the
+    keep-ids side of the rows join is broadcast."""
+    summ = clean_corpus_summary(docs, text_col="content", id_col="doc_id",
+                                lang=None)
+    plan = summ._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") == 1
