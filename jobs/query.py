@@ -8,6 +8,12 @@
 QueryEngine — one bucket-pruned prefetch collect warms every term, then
 each query scores driver-side with no further Spark job (broker serving
 shape).  A single query keeps the one-shot distributed path.
+
+``--batch FILE`` (one query per line) instead scores the whole workload
+distributed in ONE Spark job (wand.bm25_topk_batch): the offline shape for
+relevance sweeps / eval suites, where per-query job scheduling would
+dominate — terms decode once per (segment, lemma) and are shared across
+every query in the file.
 """
 
 from __future__ import annotations
@@ -24,8 +30,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
-    ap.add_argument("--query", required=True, action="append",
+    ap.add_argument("--query", action="append", default=None,
                     help="repeatable; >1 query serves via prefetch+QueryEngine")
+    ap.add_argument("--batch", default=None,
+                    help="file of queries (one per line): score the whole "
+                         "workload in ONE distributed job")
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--store", default=None,
                     help="docs-store dir: emit full reference DTO rows "
@@ -50,7 +59,30 @@ def main() -> None:
         return [r.asDict() for r in
                 enrich_hits(spark, args.store, q, hits).collect()]
 
+    if (args.query is None) == (args.batch is None):
+        ap.error("exactly one of --query / --batch is required")
+
     spark = get_spark("query", cores=args.cores)
+
+    if args.batch is not None:
+        from searchengine_spark.index.wand import bm25_topk_batch
+
+        lines = [ln.strip() for ln in Path(args.batch).read_text().splitlines()]
+        workload = {f"q{i}": q for i, q in enumerate(ln for ln in lines if ln)}
+        t0 = time.perf_counter()
+        rows = bm25_topk_batch(spark, args.index, workload, args.k,
+                               mode=args.mode,
+                               conjunctive=args.conjunctive).collect()
+        dt = (time.perf_counter() - t0) * 1000
+        by_q: dict[str, list] = {qid: [] for qid in workload}
+        for r in rows:
+            by_q[r["qid"]].append((r["doc_id"], r["score"]))
+        print(json.dumps({"n_queries": len(workload),
+                          "latency_ms_total": round(dt, 1)}))
+        for qid, q in workload.items():
+            print(json.dumps({"query": q, "hits": _payload(q, by_q[qid])}))
+        return
+
     if len(args.query) == 1:
         q = args.query[0]
         t0 = time.perf_counter()

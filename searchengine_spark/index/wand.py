@@ -449,6 +449,15 @@ class QueryEngine:
                          gdf_override=gdf, site=site, offset=offset,
                          site_intervals=self._site(site))
 
+    def topk_batch(self, queries: dict[str, str], k: int = 10,
+                   mode: str = "auto", conjunctive: bool = False) -> DataFrame:
+        """Whole-workload scoring in one Spark job over the engine's cached
+        index (see :func:`bm25_topk_batch`)."""
+        self._check_fresh()
+        return bm25_topk_batch(self.spark, self.index_dir, queries, k,
+                               mode=mode, conjunctive=conjunctive,
+                               index_df=self.index_df)
+
     def _site(self, site: str | None) -> list[tuple[int, int]] | None:
         """Cached (repo -> doc_id intervals) lookup: one pruned sites-sidecar
         read per (engine load, site) — fingerprint invalidation drops the
@@ -575,6 +584,95 @@ class QueryEngine:
             merged.extend(zip(ids.tolist(), scores.tolist()))
         merged.sort(key=lambda t: (-t[1], t[0]))
         return merged[offset:kk]
+
+
+def bm25_topk_batch(spark: SparkSession, index_dir: str,
+                    queries: dict[str, str], k: int = 10,
+                    mode: str = "auto", conjunctive: bool = False,
+                    index_df: DataFrame | None = None) -> DataFrame:
+    """Score a whole query WORKLOAD in one Spark job: (qid, doc_id, score).
+
+    Per-query distributed serving pays one scheduled job per query — fine
+    interactively, wasteful for offline workloads (relevance sweeps, eval
+    suites, training-data mining at 100 TB) where thousands of queries hit
+    the same index.  This path amortizes everything that is per-job:
+
+    - ONE bucket-pruned index scan covers the union of all query lemmas
+      (partition pruning on bucket= exactly as the single path);
+    - ONE pruned dictionary lookup fetches every lemma's global df;
+    - inside each segment group the per-lemma ``TermPostings`` is built
+      ONCE and shared across every query that uses the term — the varbyte
+      decode cost is per (segment, distinct lemma), not per query;
+    - the per-query top-k merge is one tiny shuffle of
+      O(queries x segments x k) rows, window-ranked by qid.
+
+    Semantics per query are identical to :func:`bm25_topk` (same
+    ``segment_topk_terms`` code, same AND behavior: terms absent from the
+    whole index drop out of the conjunction exactly like the single path,
+    mirroring the reference's loop over lemmas found in the DB —
+    SearchServiceImpl.java:122-143); the parity test asserts row-identity
+    against the single-query path for every qid, both modes."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .builder import read_index
+
+    with open(f"{index_dir}/meta.json") as fh:
+        meta = json.load(fh)
+    qmap = {qid: sorted(set(analyze(q))) for qid, q in queries.items()}
+    qmap = {qid: ls for qid, ls in qmap.items() if ls}
+    out_schema = "qid string, doc_id long, score double"
+    empty = spark.createDataFrame([], out_schema)
+    if not qmap:
+        return empty
+    all_lemmas = sorted({t for ls in qmap.values() for t in ls})
+
+    if index_df is not None:
+        idx = index_df.filter(F.col("lemma").isin(all_lemmas))
+    else:
+        idx = read_index(spark, index_dir, all_lemmas)
+    gdf = dict(gdf_lookup(spark, index_dir, all_lemmas, meta))
+    if not gdf:
+        gdf = {r["lemma"]: r["gdf"] for r in
+               idx.groupBy("lemma").agg(F.sum("df").alias("gdf")).collect()}
+    if not gdf:
+        return empty
+    n_docs, avgdl, k1, b = meta["n_docs"], meta["avgdl"], meta["k1"], meta["b"]
+    # AND arity per query counts only terms that exist SOMEWHERE in the
+    # index (single-path parity: its n_terms = len(gdf) of found terms)
+    n_terms_q = {qid: sum(1 for t in ls if t in gdf) for qid, ls in qmap.items()}
+
+    def _seg(pdf):
+        import pandas as pd
+
+        tps: dict[str, TermPostings] = {}
+        for r in pdf.itertuples():
+            tps[r.lemma] = TermPostings(r.postings, r.tfs, r.dls, r.blocks,
+                                        int(gdf[r.lemma]))
+        out_q: list[str] = []
+        out_d: list[int] = []
+        out_s: list[float] = []
+        for qid, lemmas in qmap.items():
+            terms = [tps[t] for t in lemmas if t in tps]
+            if not terms:
+                continue
+            if conjunctive and len(terms) < n_terms_q[qid]:
+                continue  # a required term is absent from this segment
+            ids, scores = segment_topk_terms(
+                terms, n_docs, avgdl, k, k1, b, mode, conjunctive)
+            out_q.extend([qid] * ids.size)
+            out_d.extend(ids.tolist())
+            out_s.extend(scores.tolist())
+        return pd.DataFrame({"qid": out_q, "doc_id": out_d, "score": out_s})
+
+    local = idx.groupBy("segment").applyInPandas(_seg, schema=out_schema)
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        local.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+        .orderBy("qid", F.desc("score"), F.asc("doc_id"))
+    )
 
 
 def bm25_topk(spark: SparkSession, index_dir: str, query: str, k: int = 10,

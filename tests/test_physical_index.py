@@ -400,3 +400,46 @@ def test_site_scope_prunes_segment_partitions(spark, index_dir, docs):
     m = re.search(r"segment#\d+L? IN \(([0-9,]+)\)", plan)
     assert m, plan[:500]
     assert {int(s) for s in m.group(1).split(",")} == want_segs
+
+
+@pytest.mark.parametrize("conjunctive", [False, True])
+def test_batch_topk_matches_single_query_path(spark, index_dir, conjunctive):
+    """bm25_topk_batch must return, per qid, exactly the single-query
+    path's rows (ids AND scores) — including the empty cases (no-hit term,
+    stopword-only query) — while running the whole workload as one job."""
+    from searchengine_spark.index.wand import bm25_topk_batch
+
+    workload = {
+        "q1": "tamok",
+        "q2": "tamok velsor",
+        "q3": "veltadrolix sorvel",
+        "q4": "kw_rare_xyzzy",
+        "q5": "норма tamok",
+        "q6": "zz_nope_zz",        # no postings anywhere
+        "q7": "the and for",       # analyzer drops everything
+        "q8": "tamok zz_nope_zz",  # AND arity matches single path
+    }
+    batch = bm25_topk_batch(spark, index_dir, workload, k=10,
+                            conjunctive=conjunctive)
+    got: dict[str, list] = {}
+    for r in batch.collect():
+        got.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+    for qid, q in workload.items():
+        want = [(r["doc_id"], r["score"]) for r in
+                bm25_topk(spark, index_dir, q, 10,
+                          conjunctive=conjunctive).collect()]
+        assert got.get(qid, []) == want, qid
+
+
+def test_engine_batch_uses_cached_index(spark, index_dir):
+    """QueryEngine.topk_batch serves from the engine's cached index DF and
+    agrees with its own single-query serving."""
+    from searchengine_spark.index.wand import QueryEngine
+
+    eng = QueryEngine(spark, index_dir)
+    batch = eng.topk_batch({"a": "tamok velsor", "b": "kw_rare_xyzzy"}, k=5)
+    by_q: dict[str, list] = {}
+    for r in batch.collect():
+        by_q.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+    assert by_q["a"] == eng.topk_rows("tamok velsor", 5)
+    assert by_q["b"] == eng.topk_rows("kw_rare_xyzzy", 5)
