@@ -278,6 +278,82 @@ FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
 """
 
 
+def q_search_bm25_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISJUNCTIVE BM25 twin (beyond the reference's AND): any doc carrying
+    at least one surviving query term scores over the terms it has — the
+    semantics of the physical engine's default (non-conjunctive) serving
+    path (index/wand.py exhaustive/MaxScore/BMW), here as the logical-plan
+    gate twin so the driver's DuckDB oracle value-checks OR scoring too.
+    Identical to q_search_bm25 minus the match-arity filter."""
+    docs = _load(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    tf = (
+        toks.filter(F.col("token").isin(SEARCH_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    kept_df = (
+        tf.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") < DF_THRESHOLD)
+    )
+    dls = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n_docs = docs.agg(F.count("*").alias("_nd"))
+    avgdl = dls.crossJoin(F.broadcast(n_docs)).agg(
+        (F.sum("dl") / F.first("_nd")).alias("_avgdl"), F.first("_nd").alias("_nd")
+    )
+    k1, b = 1.2, 0.75
+    idf = F.log(F.lit(1.0) + (F.col("_nd") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl")
+    )
+    term_score = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    return (
+        tf.join(F.broadcast(kept_df), "token")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .withColumn("_ts", term_score)
+        .groupBy("doc_id")
+        .agg(F.sum("_ts").alias("_s"))
+        .select("doc_id", F.round("_s", 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+SQL_SEARCH_BM25_ANY = f"""
+WITH tok AS ({_TOK_SQL}),
+tf AS (
+  SELECT doc_id, token, count(*)::BIGINT AS tf
+  FROM tok WHERE token IN ({_search_terms_sql})
+  GROUP BY doc_id, token
+),
+kept AS (
+  SELECT token, df FROM (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token)
+  WHERE df < {DF_THRESHOLD}
+),
+dls AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok WHERE token <> '' GROUP BY doc_id),
+consts AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS nd,
+         (SELECT sum(dl) FROM dls)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (consts.nd - kept.df + 0.5) / (kept.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dls.dl / consts.avgdl))
+         ) AS s
+  FROM tf
+  JOIN kept USING (token)
+  JOIN dls ON dls.doc_id = tf.doc_id
+  CROSS JOIN consts
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS bm25
+FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
 # --- site-scoped search page: the FULL reference API shape ------------------
 # GET /api/search?query&site&offset&limit (ApiController.java:30-45): the
 # reference scopes EVERYTHING to the site when one is given — its lemma
@@ -1226,6 +1302,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dict_lookup": q_dict_lookup,
     "search_sumtf": q_search_sumtf,
     "search_bm25": q_search_bm25,
+    "search_bm25_any": q_search_bm25_any,
     "search_site_page": q_search_site_page,
     "proximity_pair": q_proximity_pair,
     "snippet": q_snippet,
@@ -1263,6 +1340,7 @@ ORACLE: dict[str, str] = {
     "dict_lookup": SQL_DICT_LOOKUP,
     "search_sumtf": SQL_SEARCH_SUMTF,
     "search_bm25": SQL_SEARCH_BM25,
+    "search_bm25_any": SQL_SEARCH_BM25_ANY,
     "search_site_page": SQL_SEARCH_SITE_PAGE,
     "proximity_pair": SQL_PROXIMITY_PAIR,
     "snippet": SQL_SNIPPET,
