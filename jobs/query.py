@@ -43,6 +43,9 @@ def main() -> None:
                     help="scope to one repo (the reference's site= filter)")
     ap.add_argument("--offset", type=int, default=0,
                     help="pagination offset (the reference's offset=)")
+    ap.add_argument("--phrase", action="store_true",
+                    help="treat --query as an exact phrase (requires --store "
+                         "for positional verification)")
     ap.add_argument("--mode", choices=["auto", "maxscore", "bmw", "exhaustive"],
                     default="maxscore")
     ap.add_argument("--conjunctive", action="store_true")
@@ -81,6 +84,24 @@ def main() -> None:
                           "latency_ms_total": round(dt, 1)}))
         for qid, q in workload.items():
             print(json.dumps({"query": q, "hits": _payload(q, by_q[qid])}))
+        return
+
+    if args.phrase:
+        if args.store is None:
+            ap.error("--phrase requires --store (positional verification "
+                     "re-reads candidate docs)")
+        from searchengine_spark.index.phrase import phrase_topk
+
+        for q in args.query:
+            t0 = time.perf_counter()
+            rows = phrase_topk(spark, args.index, args.store, q,
+                               args.k).collect()
+            dt = (time.perf_counter() - t0) * 1000
+            print(json.dumps({
+                "phrase": q, "latency_ms": round(dt, 1),
+                "hits": [{"doc_id": r["doc_id"],
+                          "phrase_tf": r["phrase_tf"]} for r in rows],
+            }))
         return
 
     if len(args.query) == 1:

@@ -198,6 +198,38 @@ def analyze(text: str, normalizer: str = "pinned") -> list[str]:
     return out
 
 
+def analyze_positions(text: str, normalizer: str = "pinned") -> list[tuple[str, ...]]:
+    """Positional variant of :func:`analyze`: one entry per SURVIVING source
+    token, holding the tuple of its normal forms.  Where :func:`analyze`
+    flattens a multi-lemma token into several stream entries (each counted
+    for tf — the indexing contract), phrase matching needs them at ONE
+    position: "норма tamok" must match the source "норма tamok" even though
+    the flat stream is [норма, нормаль, tamok].  Same strip / length / stop
+    pipeline, so position i here is the i-th surviving token of the text."""
+    if not text:
+        return []
+    s = _camel1_re.sub(r"\1 \2", text)
+    s = _camel2_re.sub(r"\1 \2", s)
+    s = _strip_re.sub(" ", s.lower())
+    if normalizer == "porter":
+        from .functions.porter import porter_stem
+
+        norm = porter_stem
+    elif normalizer == "stem":
+        norm = stem_token
+    else:
+        norm = None
+    out: list[tuple[str, ...]] = []
+    for tok in s.split():
+        if len(tok) < MIN_TOKEN_LEN or tok in STOP_WORDS:
+            continue
+        if norm is not None:
+            out.append((norm(tok),))
+        else:
+            out.append(NORMAL_FORMS.get(tok, (tok,)))
+    return out
+
+
 def collect_lemmas(text: str) -> dict[str, int]:
     """Per-document lemma -> count map (LemmaFinderImpl.collectLemmas analog,
     LemmaFinderImpl.java:34-47)."""

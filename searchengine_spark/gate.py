@@ -354,6 +354,43 @@ FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
 """
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHRASE search twin (beyond the reference): docs where the two query
+    terms occur ADJACENTLY, ranked by occurrence count.  Logical-plan shape
+    of index/phrase.py: positional token stream (posexplode), self-equijoin
+    on (doc_id, pos+1) — a declarative adjacency join Catalyst plans as one
+    shuffle on doc_id, no per-row Python."""
+    docs = _load(spark, sf_dir, "documents")
+    w1, w2 = SEARCH_TERMS
+    # literal-space split WITH empties kept: position-identical to DuckDB's
+    # string_split(text, ' ') even on texts with doubled/leading spaces
+    pos = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token")
+    )
+    t1 = pos.filter(F.col("token") == w1).select("doc_id", "pos")
+    t2 = pos.filter(F.col("token") == w2).select(
+        "doc_id", (F.col("pos") - 1).alias("pos"))
+    return (
+        t1.join(t2, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("phrase_tf"))
+        .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+SQL_PHRASE_SEARCH = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+pos AS (
+  SELECT doc_id, unnest(l) AS token, generate_subscripts(l, 1) AS pos FROM tok
+)
+SELECT t1.doc_id AS doc_id, count(*)::BIGINT AS phrase_tf
+FROM pos t1 JOIN pos t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+WHERE t1.token = '{SEARCH_TERMS[0]}' AND t2.token = '{SEARCH_TERMS[1]}'
+GROUP BY t1.doc_id ORDER BY phrase_tf DESC, t1.doc_id LIMIT 20
+"""
+
+
 # --- site-scoped search page: the FULL reference API shape ------------------
 # GET /api/search?query&site&offset&limit (ApiController.java:30-45): the
 # reference scopes EVERYTHING to the site when one is given — its lemma
@@ -1303,6 +1340,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_sumtf": q_search_sumtf,
     "search_bm25": q_search_bm25,
     "search_bm25_any": q_search_bm25_any,
+    "phrase_search": q_phrase_search,
     "search_site_page": q_search_site_page,
     "proximity_pair": q_proximity_pair,
     "snippet": q_snippet,
@@ -1341,6 +1379,7 @@ ORACLE: dict[str, str] = {
     "search_sumtf": SQL_SEARCH_SUMTF,
     "search_bm25": SQL_SEARCH_BM25,
     "search_bm25_any": SQL_SEARCH_BM25_ANY,
+    "phrase_search": SQL_PHRASE_SEARCH,
     "search_site_page": SQL_SEARCH_SITE_PAGE,
     "proximity_pair": SQL_PROXIMITY_PAIR,
     "snippet": SQL_SNIPPET,
