@@ -110,6 +110,14 @@ def main() -> None:
         cold = run_suite()
         warm = run_suite()
 
+        # whole-suite batch path: ONE distributed job scores all 10 queries
+        # (offline-workload shape; contrast with 10 cold per-query jobs)
+        t0 = time.perf_counter()
+        engine.topk_batch(
+            {f"q{i}": q for i, q in enumerate(BENCH_QUERY_SET)}, 10
+        ).collect()
+        q_times["bm25_batch10_1job"] = round(time.perf_counter() - t0, 3)
+
         def pct(lat: list[float]) -> tuple[float, float]:
             s = sorted(lat)
             return (s[len(s) // 2] * 1000,
