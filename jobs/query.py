@@ -64,6 +64,12 @@ def main() -> None:
 
     if (args.query is None) == (args.batch is None):
         ap.error("exactly one of --query / --batch is required")
+    # reject silently-unsupported combinations instead of dropping flags
+    if args.batch is not None and (args.site or args.offset or args.phrase):
+        ap.error("--batch does not support --site/--offset/--phrase")
+    if args.phrase and (args.site or args.offset or args.conjunctive):
+        ap.error("--phrase does not support --site/--offset/--conjunctive "
+                 "(and ignores --mode: candidates are a plain AND)")
 
     spark = get_spark("query", cores=args.cores)
 
@@ -76,14 +82,46 @@ def main() -> None:
         rows = bm25_topk_batch(spark, args.index, workload, args.k,
                                mode=args.mode,
                                conjunctive=args.conjunctive).collect()
-        dt = (time.perf_counter() - t0) * 1000
         by_q: dict[str, list] = {qid: [] for qid in workload}
         for r in rows:
             by_q[r["qid"]].append((r["doc_id"], r["score"]))
+        if args.store is not None:
+            # ONE pruned store read for every final page (<= queries x k
+            # ids), then driver-side snippet/title per query — no per-query
+            # Spark job creeps back into the batch path
+            import pandas as pd
+            from pyspark.sql import functions as F
+
+            from searchengine_spark.operators.snippet import snippet_series
+            from searchengine_spark.streaming.store import read_store
+
+            all_ids = sorted({d for hits in by_q.values() for d, _ in hits})
+            info = {r["doc_id"]: r for r in (
+                read_store(spark, args.store)
+                .filter(F.col("doc_id").isin(all_ids))
+                .select("doc_id", "repo", "path", "content")
+                .collect())} if all_ids else {}
+
+            def _batch_payload(q, hits):
+                if not hits:
+                    return []
+                snips = snippet_series(
+                    pd.Series([info[d]["content"] for d, _ in hits]), q)
+                return [
+                    {"doc_id": d, "site": info[d]["repo"],
+                     "uri": f"{info[d]['repo']}/{info[d]['path']}",
+                     "title": info[d]["path"].rsplit("/", 1)[-1],
+                     "snippet": snips.iloc[i], "relevance": round(s, 4)}
+                    for i, (d, s) in enumerate(hits)
+                ]
+        else:
+            def _batch_payload(q, hits):
+                return [{"doc_id": d, "score": round(s, 4)} for d, s in hits]
+        dt = (time.perf_counter() - t0) * 1000
         print(json.dumps({"n_queries": len(workload),
                           "latency_ms_total": round(dt, 1)}))
         for qid, q in workload.items():
-            print(json.dumps({"query": q, "hits": _payload(q, by_q[qid])}))
+            print(json.dumps({"query": q, "hits": _batch_payload(q, by_q[qid])}))
         return
 
     if args.phrase:

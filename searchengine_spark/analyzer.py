@@ -174,28 +174,7 @@ def analyze(text: str, normalizer: str = "pinned") -> list[str]:
     Porter stemmer (functions/porter.py — the slot's complete English
     normalizer, standing in for the reference's
     LemmaFinderImpl.java:49-60 morphology)."""
-    if not text:
-        return []
-    s = _camel1_re.sub(r"\1 \2", text)
-    s = _camel2_re.sub(r"\1 \2", s)
-    s = _strip_re.sub(" ", s.lower())
-    out: list[str] = []
-    if normalizer == "porter":
-        from .functions.porter import porter_stem
-
-        norm = porter_stem
-    elif normalizer == "stem":
-        norm = stem_token
-    else:
-        norm = None
-    for tok in s.split():
-        if len(tok) < MIN_TOKEN_LEN or tok in STOP_WORDS:
-            continue
-        if norm is not None:
-            out.append(norm(tok))
-        else:
-            out.extend(NORMAL_FORMS.get(tok, (tok,)))
-    return out
+    return [f for forms in analyze_positions(text, normalizer) for f in forms]
 
 
 def analyze_positions(text: str, normalizer: str = "pinned") -> list[tuple[str, ...]]:
@@ -204,8 +183,9 @@ def analyze_positions(text: str, normalizer: str = "pinned") -> list[tuple[str, 
     flattens a multi-lemma token into several stream entries (each counted
     for tf — the indexing contract), phrase matching needs them at ONE
     position: "норма tamok" must match the source "норма tamok" even though
-    the flat stream is [норма, нормаль, tamok].  Same strip / length / stop
-    pipeline, so position i here is the i-th surviving token of the text."""
+    the flat stream is [норма, нормаль, tamok].  This function IS the single
+    pinned pipeline — :func:`analyze` is exactly its flattening, so the two
+    views cannot drift apart (the parity contract has one implementation)."""
     if not text:
         return []
     s = _camel1_re.sub(r"\1 \2", text)

@@ -54,7 +54,7 @@ def count_phrase(stream: list[tuple[str, ...]], qforms: list[frozenset]) -> int:
 
 def phrase_topk(spark: SparkSession, index_dir: str, store_dir: str,
                 phrase: str, k: int = 10,
-                collect_threshold: int = 1_000_000) -> DataFrame:
+                collect_threshold: int = 10_000) -> DataFrame:
     """Top-k (doc_id, phrase_tf) docs containing the exact phrase.
 
     The query pattern is ``analyze_positions(phrase)`` — the SAME pipeline
@@ -115,8 +115,16 @@ def phrase_topk(spark: SparkSession, index_dir: str, store_dir: str,
             yield out[out["phrase_tf"] > 0]
 
     store = read_store(spark, store_dir).select("doc_id", "content")
+    # persist BEFORE the size probe: the over-threshold branch reuses the
+    # (expensive: scan + decode + intersect) candidate stage instead of
+    # recomputing it for the semi-join.  The threshold is sized for an IN
+    # pushdown that actually helps — thousands of literals prune row groups
+    # cheaply; beyond that a driver-side In expression costs more to plan
+    # than the distributed semi-join it replaces.
+    cands = cands.persist()
     cand_rows = cands.limit(collect_threshold + 1).collect()
     if len(cand_rows) <= collect_threshold:
+        cands.unpersist()
         ids = sorted(int(r["doc_id"]) for r in cand_rows)
         if not ids:
             return empty

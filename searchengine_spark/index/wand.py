@@ -452,11 +452,16 @@ class QueryEngine:
     def topk_batch(self, queries: dict[str, str], k: int = 10,
                    mode: str = "auto", conjunctive: bool = False) -> DataFrame:
         """Whole-workload scoring in one Spark job over the engine's cached
-        index (see :func:`bm25_topk_batch`)."""
+        index (see :func:`bm25_topk_batch`).  A preloaded dictionary skips
+        the batch's gdf-lookup job too."""
         self._check_fresh()
+        gdf = None
+        if self._gdf is not None:
+            lemmas = {t for q in queries.values() for t in analyze(q)}
+            gdf = {t: self._gdf[t] for t in lemmas if t in self._gdf}
         return bm25_topk_batch(self.spark, self.index_dir, queries, k,
                                mode=mode, conjunctive=conjunctive,
-                               index_df=self.index_df)
+                               index_df=self.index_df, gdf_override=gdf)
 
     def _site(self, site: str | None) -> list[tuple[int, int]] | None:
         """Cached (repo -> doc_id intervals) lookup: one pruned sites-sidecar
@@ -589,7 +594,8 @@ class QueryEngine:
 def bm25_topk_batch(spark: SparkSession, index_dir: str,
                     queries: dict[str, str], k: int = 10,
                     mode: str = "auto", conjunctive: bool = False,
-                    index_df: DataFrame | None = None) -> DataFrame:
+                    index_df: DataFrame | None = None,
+                    gdf_override: dict[str, int] | None = None) -> DataFrame:
     """Score a whole query WORKLOAD in one Spark job: (qid, doc_id, score).
 
     Per-query distributed serving pays one scheduled job per query — fine
@@ -631,10 +637,13 @@ def bm25_topk_batch(spark: SparkSession, index_dir: str,
         idx = index_df.filter(F.col("lemma").isin(all_lemmas))
     else:
         idx = read_index(spark, index_dir, all_lemmas)
-    gdf = dict(gdf_lookup(spark, index_dir, all_lemmas, meta))
-    if not gdf:
-        gdf = {r["lemma"]: r["gdf"] for r in
-               idx.groupBy("lemma").agg(F.sum("df").alias("gdf")).collect()}
+    if gdf_override is not None:
+        gdf = gdf_override
+    else:
+        gdf = dict(gdf_lookup(spark, index_dir, all_lemmas, meta))
+        if not gdf:
+            gdf = {r["lemma"]: r["gdf"] for r in
+                   idx.groupBy("lemma").agg(F.sum("df").alias("gdf")).collect()}
     if not gdf:
         return empty
     n_docs, avgdl, k1, b = meta["n_docs"], meta["avgdl"], meta["k1"], meta["b"]

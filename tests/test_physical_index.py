@@ -443,3 +443,11 @@ def test_engine_batch_uses_cached_index(spark, index_dir):
         by_q.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
     assert by_q["a"] == eng.topk_rows("tamok velsor", 5)
     assert by_q["b"] == eng.topk_rows("kw_rare_xyzzy", 5)
+
+    # preloaded dictionary: gdf_override skips the lookup job, same rows
+    eng2 = QueryEngine(spark, index_dir, preload_dict=True)
+    batch2 = eng2.topk_batch({"a": "tamok velsor", "b": "kw_rare_xyzzy"}, k=5)
+    by_q2: dict[str, list] = {}
+    for r in batch2.collect():
+        by_q2.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+    assert by_q2 == by_q
