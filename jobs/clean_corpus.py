@@ -66,8 +66,8 @@ def main() -> None:
     mq = kw.get("min_quality", P.MIN_QUALITY)
     kl = kw["lang"]
     lang_fail = F.lit(False) if kl is None else (F.col("pred_lang") != kl)
-    keep = (~lang_fail & (F.col("quality") >= mq)
-            & (F.col("n_tokens") >= mt))
+    keep = P.keep_pred(mt, mq, kl)  # the pipeline's OWN predicate — the
+    # funnel can never disagree with what clean_corpus_rows keeps
     funnel = s.agg(
         F.count("*").alias("n_in"),
         F.sum(keep.cast("long")).alias("n_kept_pre_dedup"),

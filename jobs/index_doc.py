@@ -34,7 +34,10 @@ def main() -> None:
     ap.add_argument("--index", required=True)
     ap.add_argument("--repo", required=True)
     ap.add_argument("--path", dest="doc_path", required=True)
-    ap.add_argument("--commit", default="0")
+    ap.add_argument("--commit", default=None,
+                    help="defaults to the key's CURRENT commit (so a plain "
+                         "re-POST of a page wins the greatest-commit-wins "
+                         "merge); '0' for a brand-new key")
     ap.add_argument("--lang", default="txt")
     ap.add_argument("--content", default=None)
     ap.add_argument("--content-file", default=None,
@@ -73,8 +76,20 @@ def main() -> None:
             content = args.content
         else:
             ap.error("need --content or --content-file (or --delete)")
+        commit = args.commit
+        if commit is None:
+            # greatest-commit-wins merge: an unqualified upsert of an
+            # existing key must TIE its stored commit (ties favor the
+            # batch), not lose to it — one pushed-filter point lookup
+            from pyspark.sql import functions as F
+
+            cur = (dstore.read_store(spark, args.store)
+                   .filter((F.col("repo") == args.repo)
+                           & (F.col("path") == args.doc_path))
+                   .select("commit").collect())
+            commit = cur[0]["commit"] if cur else "0"
         batch = spark.createDataFrame(
-            [(args.repo, args.doc_path, args.commit, args.lang, content)],
+            [(args.repo, args.doc_path, commit, args.lang, content)],
             DOCS_SCHEMA,
         )
         summary = dstore.merge_batch(batch, args.store, seg_size=seg_size)

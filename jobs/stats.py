@@ -33,11 +33,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 def site_lemma_counts(spark, index_dir: str) -> dict[str, int]:
     """Exact distinct-lemma count per site (repo) from the physical index."""
+    import glob as _glob
+
     import numpy as np
     from pyspark.sql import functions as F
 
     from searchengine_spark.index.builder import SITES_SCHEMA, read_index
 
+    if not _glob.glob(f"{index_dir}/sites/segment=*"):
+        return {}  # pre-sidecar or emptied index: no per-site breakdown
     rows = (
         spark.read.schema(SITES_SCHEMA).parquet(f"{index_dir}/sites")
         .select("repo", "lo", "hi").collect()

@@ -188,12 +188,25 @@ def build_index(
     # segments.  Dense corpora: span == n_docs, behavior unchanged.
     # the sha256 per-row invariant (BASELINE.json input_hint) rides the SAME
     # aggregation: checkpointed rows are full-width anyway (no column
-    # pruning to lose), so verifying EVERY row costs one sha2 per row here
-    # instead of a whole separate O(corpus) action per build
+    # pruning to lose).  On a RESUMED build the sha2 CPU is scoped to the
+    # doc ranges actually being (re)built — rows in 'done' segments were
+    # verified when their segment was built, and any content change flows
+    # through the dirty-segment discipline (manifest dropped), so a 1-doc
+    # micro-batch pays O(batch) hashing, not O(corpus).  The count/max
+    # still scan every row (they are global statistics regardless).
+    _bad = (F.sha2(F.col("content"), 256) != F.col("sha256")).cast("int")
+    if resume and old_meta is not None:
+        _ss = int(old_meta["seg_size"])
+        _old_n = int(old_meta["n_segments"])
+        _known = [s for s in range(_old_n) if not segment_done(out_dir, s)]
+        _bad = F.when(
+            seg_ranges_filter(_known, _ss)
+            | (F.col("doc_id") >= _old_n * _ss),
+            _bad,
+        ).otherwise(F.lit(0))
     _c = narrow.agg(
         F.count("*").alias("n"), F.max("doc_id").alias("mx"),
-        F.sum((F.sha2(F.col("content"), 256) != F.col("sha256")).cast("int"))
-        .alias("bad_sha"),
+        F.sum(_bad).alias("bad_sha"),
     ).collect()[0]
     if int(_c["bad_sha"] or 0):
         raise ValueError(

@@ -78,6 +78,14 @@ class TermPostings:
         return (self.docs_b, self.tfs_b, self.dls_b, blocks)
 
     def block(self, i: int):
+        if self._full is not None:
+            # fully-decoded fast path: slice the memoized flat arrays (BMW's
+            # candidate loop calls block() right after pass-1's decode_all —
+            # re-decoding would both waste CPU and repopulate the per-block
+            # cache decode_all just dropped)
+            s = int(self.n[:i].sum())
+            e = s + int(self.n[i])
+            return tuple(a[s:e] for a in self._full)
         if i not in self._cache:
             self._cache[i] = decode_block(self._enc(), i)
         return self._cache[i]
@@ -523,7 +531,12 @@ class QueryEngine:
         in a single scan instead).  Returns the number of lemmas fetched."""
         self._check_fresh()
         lemmas = sorted({t for q in queries for t in analyze(q)})
-        fetch = [t for t in lemmas if t not in self._term_cache]
+        fetch = []
+        for t in lemmas:
+            if t in self._term_cache:
+                self._term_cache.move_to_end(t)  # suite terms must survive
+            else:                                # the post-fetch eviction
+                fetch.append(t)
         if fetch:
             self._fetch_terms(fetch, floor=len(lemmas))
         return len(fetch)
@@ -720,23 +733,27 @@ def bm25_topk(spark: SparkSession, index_dir: str, query: str, k: int = 10,
         return empty  # unknown site owns no pages
 
     if index_df is not None:
-        idx = index_df.filter(F.col("lemma").isin(qlemmas))
+        base = index_df.filter(F.col("lemma").isin(qlemmas))
     else:
-        idx = read_index(spark, index_dir, qlemmas)
+        base = read_index(spark, index_dir, qlemmas)
+    idx = base
     if intervals:
         # partition pruning on segment=: a site's docs live only in the
         # segments its intervals overlap
         segs = sorted(_overlapping_segments(intervals, int(meta["seg_size"])))
         idx = idx.filter(F.col("segment").isin(segs))
     # global df per lemma: preloaded dict (QueryEngine) > pruned read of the
-    # build-time dictionary artifact > aggregate over index rows (legacy)
+    # build-time dictionary artifact > aggregate over index rows (legacy).
+    # The legacy aggregate runs over the UNscoped rows: df (hence idf) is a
+    # corpus-global statistic — summing only the site's segments would score
+    # the same query differently per serving path.
     if gdf_override is not None:
         gdf = gdf_override
     else:
         gdf = dict(gdf_lookup(spark, index_dir, qlemmas, meta))
         if not gdf:
             gdf = {r["lemma"]: r["gdf"] for r in
-                   idx.groupBy("lemma").agg(F.sum("df").alias("gdf")).collect()}
+                   base.groupBy("lemma").agg(F.sum("df").alias("gdf")).collect()}
     if not gdf:
         return empty
     n_docs, avgdl, k1, b = meta["n_docs"], meta["avgdl"], meta["k1"], meta["b"]

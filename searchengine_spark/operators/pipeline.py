@@ -44,15 +44,23 @@ def _scored(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _kept(docs: DataFrame, text_col: str, id_col: str,
-          min_tokens: int, min_quality: float, lang: str | None) -> DataFrame:
-    """``lang=None`` skips the language gate (code corpora have no English
+def keep_pred(min_tokens: int = MIN_TOKENS, min_quality: float = MIN_QUALITY,
+              lang: str | None = KEEP_LANG):
+    """THE keep predicate over `_scored` columns — the single definition
+    shared by the pipeline and the funnel diagnostics (jobs/clean_corpus.py),
+    so reported drop counts can never drift from what is actually kept.
+    ``lang=None`` skips the language gate (code corpora have no English
     stopwords; quality/token gates still apply)."""
-    s = _scored(docs, text_col, id_col)
     pred = (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
     if lang is not None:
         pred = (F.col("pred_lang") == lang) & pred
-    return s.filter(pred)
+    return pred
+
+
+def _kept(docs: DataFrame, text_col: str, id_col: str,
+          min_tokens: int, min_quality: float, lang: str | None) -> DataFrame:
+    return _scored(docs, text_col, id_col).filter(
+        keep_pred(min_tokens, min_quality, lang))
 
 
 def clean_corpus_summary(docs: DataFrame, text_col: str = "text",
