@@ -451,3 +451,38 @@ def test_engine_batch_uses_cached_index(spark, index_dir):
     for r in batch2.collect():
         by_q2.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
     assert by_q2 == by_q
+
+
+def test_resumed_build_sha_check_scoped_to_rebuilt_ranges(spark, docs, tmp_path):
+    """On a RESUMED build the sha2 invariant is verified only over the doc
+    ranges being rebuilt (O(batch) hashing for micro-batches): a corrupted
+    row inside a dirty segment still aborts; one inside a 'done' segment is
+    out of scope (it was verified when its segment was built, and content
+    changes always dirty their segment first)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "idx")
+    meta = build_index(docs, out, n_segments=3, salt=4, n_buckets=8,
+                       resume=False)
+    seg_size = meta["seg_size"]
+
+    # corrupt one row in segment 1, mark ONLY segment 1 dirty -> caught
+    os.unlink(f"{out}/manifests/segment=1.json")
+    bad_id = seg_size  # first doc of segment 1
+    bad = docs.withColumn(
+        "sha256",
+        F.when(F.col("doc_id") == bad_id,
+               F.lit("0" * 64)).otherwise(F.col("sha256")),
+    )
+    with pytest.raises(ValueError, match="sha256 per-row invariant"):
+        build_index(bad, out, resume=True)
+
+    # same corruption with segment 1 already 'done' -> out of scope: the
+    # resumed build (no dirty segments, same corpus) short-circuits clean
+    meta2 = build_index(docs, out, resume=True)  # restore manifest 1
+    assert meta2["n_docs"] == meta["n_docs"]
+    os.unlink(f"{out}/manifests/segment=0.json")  # dirty OTHER segment
+    meta3 = build_index(bad, out, resume=True)    # bad row is in seg 1: ok
+    assert meta3["n_docs"] == meta["n_docs"]
