@@ -80,10 +80,17 @@ def main() -> None:
         if commit is None:
             # greatest-commit-wins merge: an unqualified upsert of an
             # existing key must TIE its stored commit (ties favor the
-            # batch), not lose to it — one pushed-filter point lookup
+            # batch), not lose to it — one pushed-filter point lookup,
+            # kb-pruned like every other store access (the key's kb dir is
+            # the only partition that can hold it; a root read would list
+            # and scan every kb= dir for one key)
             from pyspark.sql import functions as F
 
-            cur = (dstore.read_store(spark, args.store)
+            n_kb = int(dstore.store_meta(args.store)["n_kb"])
+            kb = int(spark.createDataFrame(
+                [(args.repo, args.doc_path)], "repo string, path string"
+            ).select(dstore._kb_col(n_kb).alias("kb")).collect()[0]["kb"])
+            cur = (dstore.read_store(spark, args.store, kbs=[kb])
                    .filter((F.col("repo") == args.repo)
                            & (F.col("path") == args.doc_path))
                    .select("commit").collect())

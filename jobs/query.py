@@ -103,6 +103,10 @@ def main() -> None:
                 .collect())} if all_ids else {}
 
             def _batch_payload(q, hits):
+                # drop hits absent from the store (doc deleted but its dirty
+                # segment not yet rebuilt, or stale index) — mirrors the
+                # single-query path's enrich_hits inner-join semantics
+                hits = [(d, s) for d, s in hits if d in info]
                 if not hits:
                     return []
                 snips = snippet_series(

@@ -129,10 +129,21 @@ def phrase_topk(spark: SparkSession, index_dir: str, store_dir: str,
         if not ids:
             return empty
         page = store.filter(F.col("doc_id").isin(ids))  # row-group pruned
-    else:  # huge candidate set: distributed semi-join, no driver material.
-        page = store.join(cands, "doc_id", "leftsemi")
-    return (
+        return (
+            page.mapInPandas(_verify, schema=out_schema)
+            .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+            .limit(k)
+        )
+    # huge candidate set: distributed semi-join, no driver material.  The
+    # result (<= k rows) is materialized EAGERLY so the persisted candidate
+    # stage can be released here — returning a lazy plan over `cands` would
+    # pin its storage for the session's lifetime (one leak per large phrase).
+    page = store.join(cands, "doc_id", "leftsemi")
+    res = (
         page.mapInPandas(_verify, schema=out_schema)
         .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
         .limit(k)
+        .localCheckpoint()
     )
+    cands.unpersist()
+    return res
