@@ -496,7 +496,12 @@ def build_index(
             spark.read.parquet(f"{out_dir}/data")
             .filter(F.col("segment").isin(missing))
             .groupBy("segment")
-            .agg(F.count("*").alias("terms"), F.sum("df").alias("postings"))
+            .agg(
+                F.count("*").alias("terms"), F.sum("df").alias("postings"),
+                F.sum(
+                    F.length("postings") + F.length("tfs") + F.length("dls")
+                ).alias("bytes"),
+            )
             .collect()
         )
     } if has_data else {}
@@ -511,10 +516,29 @@ def build_index(
                 "doc_count": int(lin["docs"]) if lin else 0,
                 "term_count": int(wrt["terms"]) if wrt else 0,
                 "posting_count": int(wrt["postings"]) if wrt else 0,
+                "posting_bytes": int(wrt["bytes"]) if wrt else 0,
                 "input_sha_xor": int(lin["sha_xor"]) if lin and lin["sha_xor"] is not None else 0,
                 "status": "done",
             },
         )
+    # bytes-per-posting estimate for the serving broker: with it, a term's
+    # driver-side working-set size is predictable from its dictionary df
+    # ALONE (est = gdf * bytes_per_posting), so QueryEngine can route an
+    # over-threshold term to the distributed path WITHOUT first collecting
+    # its posting bytes (the r3 fetch-before-guard hole).  Summed over every
+    # 'done' manifest so partial rebuilds keep the estimate index-wide;
+    # pre-r4 manifests without posting_bytes simply don't contribute.
+    from .checkpoint import all_manifests
+
+    tot_b = tot_p = 0
+    for m in all_manifests(out_dir):
+        if "posting_bytes" in m:
+            tot_b += int(m["posting_bytes"])
+            tot_p += int(m["posting_count"])
+    if tot_p:
+        meta["bytes_per_posting"] = round(tot_b / tot_p, 3)
+        with open(f"{out_dir}/meta.json", "w") as fh:
+            json.dump(meta, fh, indent=1)
     timings["manifests_s"] = round(_time.perf_counter() - _t, 2)
     meta["timings"] = timings
     return meta

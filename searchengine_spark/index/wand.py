@@ -401,11 +401,13 @@ class QueryEngine:
     silently serving stale postings."""
 
     def __init__(self, spark: SparkSession, index_dir: str,
-                 preload_dict: bool = False, term_cache_size: int = 4096):
+                 preload_dict: bool = False, term_cache_size: int = 4096,
+                 term_cache_bytes: int = 256 << 20):
         self.spark = spark
         self.index_dir = index_dir
         self._preload_dict = preload_dict
         self._term_cache_size = term_cache_size
+        self._term_cache_bytes = term_cache_bytes
         self._load()
 
     def _load(self) -> None:
@@ -416,12 +418,19 @@ class QueryEngine:
         with open(f"{self.index_dir}/meta.json") as fh:
             self.meta = json.load(fh)
         self._fp = index_fingerprint(self.index_dir)
+        # build-time average posting width: df * _bpp predicts a term's
+        # driver-side bytes BEFORE any collect.  Indexes built before the
+        # estimate existed fall back to a conservative constant.
+        self._bpp = float(self.meta.get("bytes_per_posting") or 8.0)
         # LAZY cache: .cache() only marks the plan — bucket-pruned term reads
         # warm exactly the partitions they touch.  An eager .count() here
         # would materialize the WHOLE index (init cost + cluster cache
         # pressure O(index)) — wrong default at 10^12 files.
         self.index_df = read_index(self.spark, self.index_dir).cache()
         self._term_cache: OrderedDict[str, list] = OrderedDict()
+        self._cache_nb: dict[str, int] = {}   # lemma -> cached posting bytes
+        self._cache_total = 0                 # Σ _cache_nb (LRU byte bound)
+        self._gdf_cache: dict[str, int] = {}  # lemma -> global df (tiny rows)
         self._site_cache: dict[str, list[tuple[int, int]]] = {}
         self._gdf: dict[str, int] | None = None
         if self._preload_dict:
@@ -484,13 +493,48 @@ class QueryEngine:
                 self.spark, self.index_dir, site)
         return self._site_cache[site]
 
-    def _fetch_terms(self, fetch: list[str], floor: int = 0) -> None:
+    def _gdf_for(self, lemmas: list[str]) -> dict[str, int] | None:
+        """Global df per lemma WITHOUT touching posting bytes: preloaded
+        dict > per-engine gdf cache > one pruned dictionary read (cached for
+        the engine's lifetime — a term's df is a handful of longs).  Returns
+        ``None`` when the index has no dictionary artifact (legacy layout) —
+        no size estimate is possible there."""
+        if self._gdf is not None:
+            return {t: self._gdf[t] for t in lemmas if t in self._gdf}
+        missing = [t for t in lemmas if t not in self._gdf_cache]
+        if missing:
+            import glob as _glob
+
+            if not _glob.glob(f"{self.index_dir}/dict/segment=*"):
+                return None
+            found = dict(gdf_lookup(self.spark, self.index_dir, missing,
+                                    self.meta))
+            for t in missing:
+                self._gdf_cache[t] = int(found.get(t, 0))
+        return {t: self._gdf_cache[t] for t in lemmas
+                if self._gdf_cache.get(t, 0) > 0}
+
+    def _evict(self, floor: int) -> None:
+        """LRU eviction, bounded by BOTH entry count and total posting
+        bytes; never drops below ``floor`` entries (the current working
+        set must survive its own fetch)."""
+        while len(self._term_cache) > floor and (
+            len(self._term_cache) > self._term_cache_size
+            or self._cache_total > self._term_cache_bytes
+        ):
+            lemma, _ = self._term_cache.popitem(last=False)
+            self._cache_total -= self._cache_nb.pop(lemma, 0)
+
+    def _fetch_terms(self, fetch: list[str], floor: int = 0,
+                     gdf_hint: dict[str, int] | None = None) -> None:
         """One bucket-pruned Spark collect for ``fetch`` lemmas; cache
         DECODED TermPostings (global df baked in for idf) so the
         lazily-decoded block caches survive across queries — a repeated
         term costs neither a Spark job nor a varbyte decode.  ``floor``
         keeps the CURRENT working set from evicting itself when it is
-        larger than the LRU bound."""
+        larger than the LRU bound.  Callers are expected to route
+        over-estimate terms away BEFORE calling (topk_rows/prefetch do) —
+        this function itself does not guard."""
         from pyspark.sql import functions as F
 
         from .builder import hash_bucket
@@ -505,9 +549,14 @@ class QueryEngine:
         for r in fetched:
             by_lemma[r["lemma"]].append(r)
         for lemma, rs in by_lemma.items():
-            gdf = (self._gdf.get(lemma) if self._gdf is not None
-                   else sum(int(r["df"]) for r in rs)) or 0
-            self._term_cache[lemma] = [
+            if gdf_hint is not None and lemma in gdf_hint:
+                gdf = int(gdf_hint[lemma])
+            elif self._gdf is not None:
+                gdf = self._gdf.get(lemma, 0)
+            else:
+                gdf = sum(int(r["df"]) for r in rs)
+            self._gdf_cache[lemma] = gdf
+            entries = [
                 (
                     lemma,
                     int(r["segment"]),
@@ -521,15 +570,30 @@ class QueryEngine:
                 )
                 for r in rs
             ]
-        while len(self._term_cache) > max(self._term_cache_size, floor):
-            self._term_cache.popitem(last=False)
+            self._cache_total -= self._cache_nb.pop(lemma, 0)
+            self._term_cache[lemma] = entries
+            nb = sum(e[3] for e in entries)
+            self._cache_nb[lemma] = nb
+            self._cache_total += nb
+        self._evict(floor)
 
-    def prefetch(self, queries: list[str]) -> int:
+    def prefetch(self, queries: list[str], sites: list[str] | None = None,
+                 local_threshold_bytes: int = 64 << 20) -> int:
         """Warm the term cache for a whole query suite in ONE bucket-pruned
         Spark job (round-4 backlog: cold first-query latency is one pruned
         collect per query; a broker restart re-warms its expected workload
-        in a single scan instead).  Returns the number of lemmas fetched."""
+        in a single scan instead).  Returns the number of lemmas fetched.
+
+        Honors the same byte discipline as :meth:`topk_rows`: a term whose
+        dict-estimated postings exceed ``local_threshold_bytes`` is SKIPPED
+        (queries using it route to the distributed path anyway, so warming
+        it would only pull oversized bytes onto the broker), and the fetch
+        never exceeds the engine's LRU byte budget by more than the suite's
+        own (pre-checked) working set.  ``sites`` additionally warms the
+        site-interval cache so site-scoped queries skip their sidecar read."""
         self._check_fresh()
+        for s in sites or ():
+            self._site(s)
         lemmas = sorted({t for q in queries for t in analyze(q)})
         fetch = []
         for t in lemmas:
@@ -537,8 +601,14 @@ class QueryEngine:
                 self._term_cache.move_to_end(t)  # suite terms must survive
             else:                                # the post-fetch eviction
                 fetch.append(t)
+        if not fetch:
+            return 0
+        gdf = self._gdf_for(fetch)
+        if gdf is not None:
+            fetch = [t for t in fetch
+                     if gdf.get(t, 0) * self._bpp <= local_threshold_bytes]
         if fetch:
-            self._fetch_terms(fetch, floor=len(lemmas))
+            self._fetch_terms(fetch, floor=len(lemmas), gdf_hint=gdf)
         return len(fetch)
 
     def topk_rows(self, query: str, k: int = 10, mode: str = "auto",
@@ -549,13 +619,16 @@ class QueryEngine:
         """Serving fast path: collect the (pruned, tiny) term rows to the
         driver and score them locally in numpy — one cheap collect instead
         of a shuffle + applyInPandas stage.  Falls back to the distributed
-        path when the pulled postings exceed ``local_threshold_bytes``
+        path when the query's postings exceed ``local_threshold_bytes``
         (broker-style: small working sets score on the broker, big ones on
-        the workers).  Exactness is identical: same segment_topk code."""
-        from pyspark.sql import functions as F
-
-        from .builder import hash_bucket
-
+        the workers).  The size check runs BEFORE any posting bytes move:
+        a term's footprint is estimated as dict-df × the build's
+        bytes-per-posting, so a common term at 10^12 docs (GBs of postings)
+        is routed to the workers without ever being collected — the r3
+        fetch-before-guard hole.  The post-fetch actual-size guard stays as
+        the backstop for under-estimates (and for legacy indexes without a
+        dictionary, where no estimate is possible).  Exactness is
+        identical: same segment_topk code."""
         self._check_fresh()
         qlemmas = sorted(set(analyze(query)))
         if not qlemmas:
@@ -566,14 +639,30 @@ class QueryEngine:
         kk = k + offset
         # driver-side LRU term cache: index immutable per fingerprint, so a
         # term's rows (postings bytes + blocks) are collected once and
-        # repeated terms cost no Spark job at all; bounded so the cache
-        # never grows O(vocabulary)
+        # repeated terms cost no Spark job at all; bounded by entry count
+        # AND bytes so the cache never grows O(vocabulary) or O(hot-term)
         fetch = [t for t in qlemmas if t not in self._term_cache]
         for t in qlemmas:
             if t in self._term_cache:
                 self._term_cache.move_to_end(t)
+        gdf = None
         if fetch:
-            self._fetch_terms(fetch, floor=len(qlemmas))
+            gdf = self._gdf_for(qlemmas)  # dict rows only — no posting bytes
+            if gdf is not None:
+                est = sum(
+                    self._cache_nb[t] if t in self._term_cache
+                    else gdf.get(t, 0) * self._bpp
+                    for t in qlemmas
+                )
+                if est > local_threshold_bytes:
+                    out = bm25_topk(
+                        self.spark, self.index_dir, query, k, mode=mode,
+                        conjunctive=conjunctive, index_df=self.index_df,
+                        gdf_override=gdf or None, site=site, offset=offset,
+                        site_intervals=intervals,
+                    ).collect()
+                    return [(r["doc_id"], r["score"]) for r in out]
+            self._fetch_terms(fetch, floor=len(qlemmas), gdf_hint=gdf)
         entries = [e for t in qlemmas for e in self._term_cache.get(t, ())]
         if not entries:
             return []
