@@ -65,8 +65,8 @@ def main() -> None:
     if (args.query is None) == (args.batch is None):
         ap.error("exactly one of --query / --batch is required")
     # reject silently-unsupported combinations instead of dropping flags
-    if args.batch is not None and (args.site or args.offset or args.phrase):
-        ap.error("--batch does not support --site/--offset/--phrase")
+    if args.batch is not None and args.phrase:
+        ap.error("--batch does not support --phrase")
     if args.phrase and (args.site or args.offset or args.conjunctive):
         ap.error("--phrase does not support --site/--offset/--conjunctive "
                  "(and ignores --mode: candidates are a plain AND)")
@@ -78,10 +78,15 @@ def main() -> None:
 
         lines = [ln.strip() for ln in Path(args.batch).read_text().splitlines()]
         workload = {f"q{i}": q for i, q in enumerate(ln for ln in lines if ln)}
+        # --site/--offset apply to every query in the file; the API itself
+        # (bm25_topk_batch) takes them per qid
+        b_sites = ({qid: args.site for qid in workload} if args.site else None)
+        b_offsets = ({qid: args.offset for qid in workload}
+                     if args.offset else None)
         t0 = time.perf_counter()
         rows = bm25_topk_batch(spark, args.index, workload, args.k,
-                               mode=args.mode,
-                               conjunctive=args.conjunctive).collect()
+                               mode=args.mode, conjunctive=args.conjunctive,
+                               sites=b_sites, offsets=b_offsets).collect()
         by_q: dict[str, list] = {qid: [] for qid in workload}
         for r in rows:
             by_q[r["qid"]].append((r["doc_id"], r["score"]))

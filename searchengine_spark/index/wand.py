@@ -467,18 +467,25 @@ class QueryEngine:
                          site_intervals=self._site(site))
 
     def topk_batch(self, queries: dict[str, str], k: int = 10,
-                   mode: str = "auto", conjunctive: bool = False) -> DataFrame:
+                   mode: str = "auto", conjunctive: bool = False,
+                   sites: dict[str, str] | None = None,
+                   offsets: dict[str, int] | None = None) -> DataFrame:
         """Whole-workload scoring in one Spark job over the engine's cached
         index (see :func:`bm25_topk_batch`).  A preloaded dictionary skips
-        the batch's gdf-lookup job too."""
+        the batch's gdf-lookup job; per-qid ``sites`` resolve through the
+        engine's interval cache, so repeated scoped suites skip the sidecar
+        reads too."""
         self._check_fresh()
         gdf = None
         if self._gdf is not None:
             lemmas = {t for q in queries.values() for t in analyze(q)}
             gdf = {t: self._gdf[t] for t in lemmas if t in self._gdf}
+        iv = {s: (self._site(s) or []) for s in set((sites or {}).values())}
         return bm25_topk_batch(self.spark, self.index_dir, queries, k,
                                mode=mode, conjunctive=conjunctive,
-                               index_df=self.index_df, gdf_override=gdf)
+                               index_df=self.index_df, gdf_override=gdf,
+                               sites=sites, offsets=offsets,
+                               site_intervals=iv)
 
     def _site(self, site: str | None) -> list[tuple[int, int]] | None:
         """Cached (repo -> doc_id intervals) lookup: one pruned sites-sidecar
@@ -697,7 +704,11 @@ def bm25_topk_batch(spark: SparkSession, index_dir: str,
                     queries: dict[str, str], k: int = 10,
                     mode: str = "auto", conjunctive: bool = False,
                     index_df: DataFrame | None = None,
-                    gdf_override: dict[str, int] | None = None) -> DataFrame:
+                    gdf_override: dict[str, int] | None = None,
+                    sites: dict[str, str] | None = None,
+                    offsets: dict[str, int] | None = None,
+                    site_intervals: dict[str, list[tuple[int, int]]] | None = None,
+                    ) -> DataFrame:
     """Score a whole query WORKLOAD in one Spark job: (qid, doc_id, score).
 
     Per-query distributed serving pays one scheduled job per query — fine
@@ -719,11 +730,22 @@ def bm25_topk_batch(spark: SparkSession, index_dir: str,
     whole index drop out of the conjunction exactly like the single path,
     mirroring the reference's loop over lemmas found in the DB —
     SearchServiceImpl.java:122-143); the parity test asserts row-identity
-    against the single-query path for every qid, both modes."""
+    against the single-query path for every qid, both modes.
+
+    ``sites``/``offsets`` (each ``qid -> value``, both optional per qid)
+    complete the reference search API on the batch path too: a qid's site
+    scope becomes the same doc_id interval mask the single path uses
+    (masked candidate generation inside each segment — pruning stays
+    exact), and its offset is served by taking top-(offset+k) per segment
+    then window-ranking ``offset < rank <= offset+k`` per qid.  When every
+    qid is site-scoped the index scan itself is pruned to the union of
+    their overlapping segments.  ``site_intervals`` (site -> intervals)
+    short-circuits sidecar reads for callers that cache them
+    (QueryEngine)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from .builder import read_index
+    from .builder import read_index, read_site_ranges
 
     with open(f"{index_dir}/meta.json") as fh:
         meta = json.load(fh)
@@ -731,6 +753,22 @@ def bm25_topk_batch(spark: SparkSession, index_dir: str,
     qmap = {qid: ls for qid, ls in qmap.items() if ls}
     out_schema = "qid string, doc_id long, score double"
     empty = spark.createDataFrame([], out_schema)
+
+    sites = sites or {}
+    offsets = {qid: int(v) for qid, v in (offsets or {}).items() if v}
+    iv_cache: dict[str, list[tuple[int, int]]] = dict(site_intervals or {})
+    qiv: dict[str, list[tuple[int, int]] | None] = {}
+    for qid in list(qmap):
+        s = sites.get(qid)
+        if s is None:
+            qiv[qid] = None
+            continue
+        if s not in iv_cache:
+            iv_cache[s] = read_site_ranges(spark, index_dir, s)
+        if not iv_cache[s]:
+            del qmap[qid]  # unknown site owns no pages (single-path parity)
+        else:
+            qiv[qid] = iv_cache[s]
     if not qmap:
         return empty
     all_lemmas = sorted({t for ls in qmap.values() for t in ls})
@@ -739,6 +777,14 @@ def bm25_topk_batch(spark: SparkSession, index_dir: str,
         idx = index_df.filter(F.col("lemma").isin(all_lemmas))
     else:
         idx = read_index(spark, index_dir, all_lemmas)
+    seg_size = int(meta["seg_size"])
+    qsegs = {qid: (_overlapping_segments(iv, seg_size) if iv else None)
+             for qid, iv in qiv.items()}
+    if all(sg is not None for sg in qsegs.values()):
+        # every query is site-scoped: partition-prune the shared scan to the
+        # union of their live segments (same pruning as the single path)
+        union = sorted(set().union(*qsegs.values()))
+        idx = idx.filter(F.col("segment").isin(union))
     if gdf_override is not None:
         gdf = gdf_override
     else:
@@ -753,9 +799,12 @@ def bm25_topk_batch(spark: SparkSession, index_dir: str,
     # index (single-path parity: its n_terms = len(gdf) of found terms)
     n_terms_q = {qid: sum(1 for t in ls if t in gdf) for qid, ls in qmap.items()}
 
+    kk_q = {qid: k + offsets.get(qid, 0) for qid in qmap}
+
     def _seg(pdf):
         import pandas as pd
 
+        seg = int(pdf["segment"].iloc[0])
         tps: dict[str, TermPostings] = {}
         for r in pdf.itertuples():
             tps[r.lemma] = TermPostings(r.postings, r.tfs, r.dls, r.blocks,
@@ -764,13 +813,17 @@ def bm25_topk_batch(spark: SparkSession, index_dir: str,
         out_d: list[int] = []
         out_s: list[float] = []
         for qid, lemmas in qmap.items():
+            live = qsegs[qid]
+            if live is not None and seg not in live:
+                continue  # qid's site intervals cannot reach this segment
             terms = [tps[t] for t in lemmas if t in tps]
             if not terms:
                 continue
             if conjunctive and len(terms) < n_terms_q[qid]:
                 continue  # a required term is absent from this segment
             ids, scores = segment_topk_terms(
-                terms, n_docs, avgdl, k, k1, b, mode, conjunctive)
+                terms, n_docs, avgdl, kk_q[qid], k1, b, mode, conjunctive,
+                qiv[qid])
             out_q.extend([qid] * ids.size)
             out_d.extend(ids.tolist())
             out_s.extend(scores.tolist())
@@ -778,10 +831,23 @@ def bm25_topk_batch(spark: SparkSession, index_dir: str,
 
     local = idx.groupBy("segment").applyInPandas(_seg, schema=out_schema)
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = local.withColumn("_rk", F.row_number().over(w))
+    if offsets:
+        # per-qid pagination: broadcast-join the tiny (qid, offset) side and
+        # keep offset < rank <= offset + k for each query
+        off_df = spark.createDataFrame(
+            [(qid, offsets.get(qid, 0)) for qid in qmap],
+            "qid string, _off int")
+        ranked = (
+            ranked.join(F.broadcast(off_df), "qid")
+            .filter((F.col("_rk") > F.col("_off"))
+                    & (F.col("_rk") <= F.col("_off") + k))
+            .drop("_off")
+        )
+    else:
+        ranked = ranked.filter(F.col("_rk") <= k)
     return (
-        local.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= k)
-        .drop("_rk")
+        ranked.drop("_rk")
         .orderBy("qid", F.desc("score"), F.asc("doc_id"))
     )
 

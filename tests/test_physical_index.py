@@ -431,6 +431,60 @@ def test_batch_topk_matches_single_query_path(spark, index_dir, conjunctive):
         assert got.get(qid, []) == want, qid
 
 
+@pytest.mark.parametrize("conjunctive", [False, True])
+def test_batch_topk_site_offset_matches_single_path(spark, index_dir,
+                                                    conjunctive):
+    """r3 VERDICT item 4: the batch path accepts per-qid site/offset and
+    must stay row-identical to the single-query path under every
+    combination — scoped, paginated, scoped+paginated, unknown site."""
+    from searchengine_spark.index.wand import bm25_topk_batch
+
+    workload = {
+        "plain": "tamok velsor",
+        "scoped": "tamok velsor",
+        "paged": "tamok velsor",
+        "scoped_paged": "tamok velsor",
+        "other_site": "tamok",
+        "ghost_site": "tamok",     # unknown site: no pages, no hits
+        "scoped_and": "tamok sorvel",
+    }
+    sites = {"scoped": "org0/proj0", "scoped_paged": "org0/proj0",
+             "other_site": "org1/proj1", "ghost_site": "org9/nope",
+             "scoped_and": "org0/proj0"}
+    offsets = {"paged": 3, "scoped_paged": 2}
+    batch = bm25_topk_batch(spark, index_dir, workload, k=5,
+                            conjunctive=conjunctive,
+                            sites=sites, offsets=offsets)
+    got: dict[str, list] = {}
+    for r in batch.collect():
+        got.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+    for qid, q in workload.items():
+        want = [(r["doc_id"], r["score"]) for r in
+                bm25_topk(spark, index_dir, q, 5, conjunctive=conjunctive,
+                          site=sites.get(qid),
+                          offset=offsets.get(qid, 0)).collect()]
+        assert got.get(qid, []) == want, qid
+    assert "ghost_site" not in got
+
+
+def test_engine_batch_site_offset_and_cached_intervals(spark, index_dir):
+    """QueryEngine.topk_batch threads per-qid site/offset through its
+    interval cache and agrees with its own single-query serving."""
+    from searchengine_spark.index.wand import QueryEngine
+
+    eng = QueryEngine(spark, index_dir)
+    sites = {"a": "org0/proj0"}
+    offsets = {"b": 2}
+    batch = eng.topk_batch({"a": "tamok velsor", "b": "tamok"}, k=5,
+                           sites=sites, offsets=offsets)
+    by_q: dict[str, list] = {}
+    for r in batch.collect():
+        by_q.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+    assert by_q["a"] == eng.topk_rows("tamok velsor", 5, site="org0/proj0")
+    assert by_q["b"] == eng.topk_rows("tamok", 5, offset=2)
+    assert "org0/proj0" in eng._site_cache  # resolved once, cached
+
+
 def test_engine_batch_uses_cached_index(spark, index_dir):
     """QueryEngine.topk_batch serves from the engine's cached index DF and
     agrees with its own single-query serving."""
