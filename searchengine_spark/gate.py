@@ -932,9 +932,9 @@ _stops_sql = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
 SQL_TEXT_QUALITY = f"""
 WITH base AS (
   SELECT doc_id, text,
-         len(list_filter(string_split(text, ' '), t -> t <> '')) AS nt,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS nt,
          length(text) AS nc,
-         len(list_filter(string_split(text, ' '), t -> t IN ({_stops_sql}))) AS ns,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t IN ({_stops_sql}))) AS ns,
          length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS np
   FROM documents
 )
@@ -965,7 +965,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOKEN_COUNT = """
 SELECT doc_id,
-       len(list_filter(string_split(text, ' '), t -> t <> ''))::BIGINT AS n_ws,
+       len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))::BIGINT AS n_ws,
        len(regexp_extract_all(text,
            '''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'
        ))::BIGINT AS n_bpe
@@ -981,8 +981,8 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_LANG_ID = f"""
 SELECT doc_id,
        CASE WHEN round(
-         len(list_filter(string_split(text, ' '), t -> t IN ({_stops_sql})))::DOUBLE
-         / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1), 4) >= 0.04
+         len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t IN ({_stops_sql})))::DOUBLE
+         / greatest(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')), 1), 4) >= 0.04
        THEN 'en' ELSE 'other' END AS pred_lang
 FROM documents
 """
@@ -1003,9 +1003,9 @@ SQL_CLEAN_CORPUS = f"""
 WITH scored AS (
   SELECT doc_id,
          md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
-         len(list_filter(string_split(text, ' '), t -> t <> ''))::BIGINT AS nt,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))::BIGINT AS nt,
          length(text) AS nc,
-         len(list_filter(string_split(text, ' '), t -> t IN ({_stops_sql}))) AS ns,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t IN ({_stops_sql}))) AS ns,
          length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS np
   FROM documents
 ),
@@ -1043,7 +1043,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_FINGERPRINT = """
 SELECT doc_id,
        md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
-       len(list_filter(string_split(text, ' '), t -> t <> ''))::BIGINT AS n_tokens
+       len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))::BIGINT AS n_tokens
 FROM documents
 """
 

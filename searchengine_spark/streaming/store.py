@@ -32,6 +32,22 @@ Contrast with the reference's single-page upsert
 (IndexingServiceImpl.java:56-84): same "delete + re-add one unit"
 semantics, but the unit here is a bounded partition / segment, not a row in
 a shared MySQL table.
+
+**Commit ordering contract** — "greatest commit wins" compares commit
+strings LEXICOGRAPHICALLY (``_nc >= _oc``), ties won by the incoming batch
+(a re-send of the stored commit with changed content is a correction).
+For a MONOTONIC version column — a counter, a zero-padded timestamp, a
+ULID — lexicographic order IS recency, and upserts resolve as users
+expect.  For arbitrary ids (raw git shas) the order is
+ARBITRARY-BUT-DETERMINISTIC: there is no recency signal in a sha, so the
+store guarantees only CONVERGENCE — any interleaving / replay of the same
+batches ends at the same winning (commit, content) row per key, namely the
+lexicographically greatest commit (contract-tested with non-monotonic
+strings in test_incremental.py).  Callers needing true last-writer-wins
+must supply a monotonic commit value (e.g. prefix the sha with a commit
+timestamp or an ingestion batch id).  The reference never faces this: its
+delete-then-reindex endpoint (IndexingServiceImpl.java:229-250) is
+single-writer per page, so arrival order is the only order.
 """
 
 from __future__ import annotations

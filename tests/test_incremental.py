@@ -541,3 +541,53 @@ def test_site_scope_spans_appended_tail_runs(spark, tmp_path):
     now = max(_os.stat(f"{idx}/sites/segment=0/{f}").st_mtime_ns
               for f in _os.listdir(f"{idx}/sites/segment=0"))
     assert now == seg0_sites_mtime
+
+
+def test_commit_ordering_contract_non_monotonic(spark, tmp_path):
+    """r3 VERDICT item 5: 'greatest commit wins' is LEXICOGRAPHIC and
+    therefore only a CONVERGENCE rule for non-monotonic commit strings
+    (git shas) — any replay / interleaving of the same batches must end at
+    the same winning (commit, content) per key, the lexicographically
+    greatest; ties go to the incoming batch (re-send == correction)."""
+    from searchengine_spark.streaming.store import (
+        init_store,
+        merge_batch,
+        read_store,
+    )
+
+    key = ("orgX/projX", "src/a.py")
+    mk = lambda commit, content: spark.createDataFrame(  # noqa: E731
+        [(key[0], key[1], commit, "py", content)], DOCS_SCHEMA)
+
+    def final(store, batches):
+        init_store(mk("mmm", "content-mmm"), store)
+        for c, t in batches:
+            merge_batch(mk(c, t), store)
+        r = read_store(spark, store).collect()
+        assert len(r) == 1
+        return (r[0]["commit"], r[0]["content"], r[0]["doc_id"])
+
+    # lex-smaller commit LOSES even if it arrives later (no recency signal)
+    got = final(str(tmp_path / "s1"), [("aaa", "content-aaa")])
+    assert got[:2] == ("mmm", "content-mmm")
+
+    # lex-greater commit wins; doc_id is stable across the update
+    got = final(str(tmp_path / "s2"), [("zzz", "content-zzz")])
+    assert got[:2] == ("zzz", "content-zzz") and got[2] == 0
+
+    # tie on commit: the incoming batch wins (correction semantics)
+    got = final(str(tmp_path / "s3"), [("mmm", "content-corrected")])
+    assert got[:2] == ("mmm", "content-corrected")
+
+    # CONVERGENCE: two shuffled replays of the same non-monotonic batches
+    # end at the identical row — the lexicographic max, not arrival order
+    batches = [("d4e", "v-d4e"), ("0ab", "v-0ab"), ("9fc", "v-9fc")]
+    a = final(str(tmp_path / "s4"), batches)
+    b = final(str(tmp_path / "s5"), batches[::-1])
+    assert a == b and a[:2] == ("mmm", "content-mmm")  # 'mmm' > '9fc' > ...
+
+    # ...and with a commit above the seed, both orders converge on it
+    batches = [("d4e", "v-d4e"), ("zz1", "v-zz1"), ("9fc", "v-9fc")]
+    a = final(str(tmp_path / "s6"), batches)
+    b = final(str(tmp_path / "s7"), batches[::-1])
+    assert a == b and a[:2] == ("zz1", "v-zz1")
