@@ -88,27 +88,57 @@ def main() -> None:
         files_per_sec = n / build_s
         q_times["index_build"] = round(build_s, 3)
 
-        # 3 — BM25 top-10 latency on the physical index (warm serving
-        # configuration: QueryEngine caches index + dictionary)
+        # 2b — positional sidecar (opt-in phrase scale path) + the high-df
+        # phrase probe: a bigram of two COMMON terms, the regime where the
+        # store-verify path degrades to near-full-corpus re-analysis; the
+        # positional path must stay in the conjunctive-search cost class
+        # (r3 VERDICT item 2 target: within ~3x of search_sumtf).  The whole
+        # block (like every r3+ addition) is excluded from the headline
+        # total so round-over-round "value" stays like-for-like.
+        from searchengine_spark.index.phrase import phrase_topk
+        from searchengine_spark.index.positions import build_positions
+
+        t_add0 = time.perf_counter()
+        t0 = time.perf_counter()
+        build_positions(docs, out)
+        q_times["positions_build"] = round(time.perf_counter() - t0, 3)
+        phrase_topk(spark, out, None, "sorvel veltadrolix", 10).collect()
+        t0 = time.perf_counter()
+        phrase_topk(spark, out, None, "sorvel veltadrolix", 10).collect()
+        q_times["phrase_common_bigram"] = round(time.perf_counter() - t0, 3)
+        t_additions = time.perf_counter() - t_add0
+
+        # 3 — BM25 top-10 latency on the physical index, three serving
+        # shapes (r3 VERDICT item 3): TRUE COLD (lazy engine, each query
+        # pays its own pruned fetch), COLD-WITH-PREFETCH (broker restart:
+        # one bucket-pruned collect warms the expected workload), WARM
+        # (steady-state LRU).
         from searchengine_spark.index.wand import QueryEngine
 
         engine = QueryEngine(spark, out)
-        engine.topk_rows("tamok", 10)  # session warmup
+        engine.topk_rows("jorta", 10)  # session warmup OUTSIDE the suite's
+        #                                terms: true-cold stays true
 
-        def run_suite() -> list[float]:
+        def run_suite(eng) -> list[float]:
             out_l: list[float] = []
             for q in BENCH_QUERY_SET:
                 t0 = time.perf_counter()
-                engine.topk_rows(q, 10, mode="auto")
+                eng.topk_rows(q, 10, mode="auto")
                 out_l.append(time.perf_counter() - t0)
             return out_l
 
-        # cold pass: every term's postings fetched from the (cached) index
-        # via a pruned Spark collect; warm pass: the engine's LRU term cache
-        # holds the query set, so repeated terms cost no Spark job — the
-        # steady-state broker serving configuration.
-        cold = run_suite()
-        warm = run_suite()
+        cold = run_suite(engine)
+        warm = run_suite(engine)
+
+        # broker-restart shape: fresh engine, prefetch the suite, serve
+        # (an r4 addition — excluded from the headline total)
+        t_add0 = time.perf_counter()
+        engine2 = QueryEngine(spark, out)
+        t0 = time.perf_counter()
+        engine2.prefetch(BENCH_QUERY_SET)
+        prefetch_ms = (time.perf_counter() - t0) * 1000
+        prefetched = run_suite(engine2)
+        t_additions += time.perf_counter() - t_add0
 
         # whole-suite batch path: ONE distributed job scores all 10 queries
         # (offline-workload shape; contrast with 10 cold per-query jobs)
@@ -124,15 +154,18 @@ def main() -> None:
                     s[min(len(s) - 1, int(len(s) * 0.95))] * 1000)
 
         cold_p50, cold_p95 = pct(cold)
+        pf_p50, pf_p95 = pct(prefetched)
         p50, p95 = pct(warm)
         q_times["bm25_top10_suite"] = round(sum(warm), 3)
         docs.unpersist()
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
-    # the batch-suite metric is NEW in r3 — keep the headline total
-    # comparable with earlier rounds by reporting it per-query only
-    total = (time.perf_counter() - t_all) - q_times.get("bm25_batch10_1job", 0.0)
+    # batch-suite (r3) and positions/phrase/prefetch (r4) metrics are
+    # additions — keep the headline total comparable with earlier rounds by
+    # reporting them per-query only
+    total = (time.perf_counter() - t_all) - t_additions - q_times.get(
+        "bm25_batch10_1job", 0.0)
     print(json.dumps({
         "metric": "index-build files/sec + BM25 top-10 p95 latency",
         "value": round(total, 3),  # measured work only; warmup_s is separate
@@ -148,6 +181,9 @@ def main() -> None:
         "bm25_latency_ms": {"p50": round(p50, 1), "p95": round(p95, 1),
                             "cold_p50": round(cold_p50, 1),
                             "cold_p95": round(cold_p95, 1),
+                            "prefetch_p50": round(pf_p50, 1),
+                            "prefetch_p95": round(pf_p95, 1),
+                            "prefetch_ms": round(prefetch_ms, 1),
                             "n_queries": len(BENCH_QUERY_SET)},
         "cpus": cpus,
     }))

@@ -39,6 +39,10 @@ def main() -> None:
                     help="also init the kb-partitioned docs store here and "
                          "build the index FROM it (ids guaranteed "
                          "consistent; enables jobs/query.py --store DTOs)")
+    ap.add_argument("--positions", action="store_true",
+                    help="also build the positional sidecar (exact phrase "
+                         "search without store re-analysis; ~doubles index "
+                         "bytes, opt-in)")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
@@ -78,6 +82,14 @@ def main() -> None:
         n_buckets=args.buckets, block_size=args.block_size,
         analyzer_impl=args.analyzer, resume=not args.no_resume,
     )
+    if args.positions:
+        from searchengine_spark.index.positions import build_positions
+
+        t_pos = time.perf_counter()
+        build_positions(docs, args.out)
+        meta.setdefault("timings", {})["positions_s"] = round(
+            time.perf_counter() - t_pos, 2)
+        meta["has_positions"] = True
     dt = time.perf_counter() - t0
     meta.setdefault("timings", {})["ingest_s"] = round(ingest_s, 2)
     print(json.dumps({

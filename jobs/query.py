@@ -134,10 +134,13 @@ def main() -> None:
         return
 
     if args.phrase:
-        if args.store is None:
-            ap.error("--phrase requires --store (positional verification "
-                     "re-reads candidate docs)")
         from searchengine_spark.index.phrase import phrase_topk
+        from searchengine_spark.index.positions import has_positions
+
+        if args.store is None and not has_positions(args.index):
+            ap.error("--phrase requires --store (store-verify path "
+                     "re-reads candidate docs) unless the index has a "
+                     "positional sidecar (build_index.py --positions)")
 
         for q in args.query:
             t0 = time.perf_counter()

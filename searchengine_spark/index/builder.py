@@ -231,6 +231,7 @@ def build_index(
                 shutil.rmtree(f"{out_dir}/data/{name}", ignore_errors=True)
                 shutil.rmtree(f"{out_dir}/dict/{name}", ignore_errors=True)
                 shutil.rmtree(f"{out_dir}/sites/{name}", ignore_errors=True)
+                shutil.rmtree(f"{out_dir}/positions/{name}", ignore_errors=True)
                 p = f"{out_dir}/manifests/{name}.json"
                 if os.path.exists(p):
                     os.unlink(p)
@@ -396,6 +397,10 @@ def build_index(
         shutil.rmtree(f"{out_dir}/data/segment={s}", ignore_errors=True)
         shutil.rmtree(f"{out_dir}/dict/segment={s}", ignore_errors=True)
         shutil.rmtree(f"{out_dir}/sites/segment={s}", ignore_errors=True)
+        # rebuilt ranges' positions are stale the moment the data changes;
+        # meta.has_positions is also cleared by this build's meta rewrite —
+        # build_positions(segs) refreshes both (rebuild_segments wires it)
+        shutil.rmtree(f"{out_dir}/positions/segment={s}", ignore_errors=True)
 
     index_df = runs.groupBy("segment", "bucket").applyInPandas(_merge, schema=INDEX_OUT_SCHEMA)
     (

@@ -52,9 +52,10 @@ def count_phrase(stream: list[tuple[str, ...]], qforms: list[frozenset]) -> int:
     return c
 
 
-def phrase_topk(spark: SparkSession, index_dir: str, store_dir: str,
+def phrase_topk(spark: SparkSession, index_dir: str, store_dir: str | None,
                 phrase: str, k: int = 10,
-                collect_threshold: int = 10_000) -> DataFrame:
+                collect_threshold: int = 10_000,
+                impl: str = "auto") -> DataFrame:
     """Top-k (doc_id, phrase_tf) docs containing the exact phrase.
 
     The query pattern is ``analyze_positions(phrase)`` — the SAME pipeline
@@ -63,14 +64,28 @@ def phrase_topk(spark: SparkSession, index_dir: str, store_dir: str,
     a sub-phrase of consecutive positions, a word it drops (stopword /
     short) vanishes from the pattern exactly as it vanished from every doc
     stream, and a multi-lemma token accepts any of its forms at one
-    position.  A phrase whose every word vanishes is unmatchable — empty."""
+    position.  A phrase whose every word vanishes is unmatchable — empty.
+
+    ``impl``: 'auto' (default) serves from the positional sidecar when the
+    index has a FRESH one (positions.has_positions — the high-df scale
+    path: O(query-term postings), no store scan, no Python re-analysis)
+    and falls back to the store-verify path below otherwise; 'positions' /
+    'store' force a path (the parity test runs both).  The store path
+    needs ``store_dir``; the positional path ignores it."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
 
     from ..streaming.store import read_store
     from .builder import read_index
+    from .positions import has_positions, phrase_topk_positions
     from .wand import TermPostings
+
+    if impl == "positions" or (impl == "auto" and has_positions(index_dir)):
+        return phrase_topk_positions(spark, index_dir, phrase, k)
+    if store_dir is None:
+        raise ValueError("store-verify phrase path needs store_dir "
+                         "(or build the positional sidecar)")
 
     out_schema = "doc_id long, phrase_tf long"
     empty = spark.createDataFrame([], out_schema)

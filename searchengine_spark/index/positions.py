@@ -1,0 +1,399 @@
+"""Optional positional postings sidecar: the high-df phrase story.
+
+r3 VERDICT item 2: the store-verify phrase path (index/phrase.py) is
+candidate-bounded — exactly right for selective phrases, O(corpus) for a
+phrase of two COMMON words (every candidate doc re-analyzed in Python).
+This sidecar removes that regime entirely WITHOUT touching the default
+index format (positions roughly double posting bytes for a feature most
+queries never use, so they are opt-in — ``build_positions`` after / beside
+``build_index``):
+
+    index_dir/positions/segment=K/bucket=B/*.parquet
+        (segment, lemma, bucket, df, pdocs, pcounts, pstream)
+
+Per (segment, lemma): ``pdocs`` is the varbyte doc-gap stream (first doc
+absolute, rest delta-1 — the codec's convention), ``pcounts`` the varbyte
+per-doc occurrence count (== tf), and ``pstream`` the varbyte per-doc
+position deltas (first position absolute per doc, rest delta-1),
+concatenated in doc order.  A POSITION is the index of a surviving source
+token in the pinned analyzer's positional stream (analyzer.analyze_positions
+— multi-lemma tokens occupy ONE position with several forms), so matching
+is symmetric with the store-verify path by construction and the two
+implementations are row-identical (tests/test_phrase_positions.py).
+
+Query time (:func:`phrase_topk_positions`): a bucket-pruned read of the
+query forms' rows, then per segment (one ``applyInPandas`` group, all
+numpy) each pattern slot j becomes a sorted key set
+``local_doc * K + (pos - j)`` — the union over the slot's forms — and the
+phrase's start positions are the INTERSECTION of the slots' key sets.
+``phrase_tf`` is the per-doc count of surviving starts.  Cost is
+O(postings of the query terms) — the same class as conjunctive search —
+regardless of how common the words are; no store scan, no per-row Python
+re-analysis.
+
+Lifecycle: ``build_index`` rewrites ``meta.json`` WITHOUT the
+``has_positions`` flag, so any data rebuild atomically disables the
+positional path (stale positions are never served); ``build_positions``
+(over the rebuilt segments, or all) re-enables it, and
+``streaming.incremental.rebuild_segments`` refreshes the sidecar
+automatically when it exists.  Reference analog: none — the reference's
+index stores no positions (`lemma`/`index` tables, SearchEngine schema);
+its proximity rule is a post-AND substring heuristic
+(SearchServiceImpl.java:231-264).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+import shutil
+from typing import TYPE_CHECKING
+
+import numpy as np
+
+from ..analyzer import analyze_positions
+from .codec import varbyte_decode, varbyte_encode
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+POS_SCHEMA_DDL = ("segment int, lemma string, df long, pdocs binary, "
+                  "pcounts binary, pstream binary, bucket int")
+
+
+def has_positions(index_dir: str) -> bool:
+    """Positional serving is enabled iff meta carries the flag AND the
+    sidecar has data — build_index's meta rewrite clears the flag, so a
+    rebuilt index never serves stale positions."""
+    try:
+        with open(f"{index_dir}/meta.json") as fh:
+            if not json.load(fh).get("has_positions"):
+                return False
+    except FileNotFoundError:
+        return False
+    return bool(_glob.glob(f"{index_dir}/positions/segment=*"))
+
+
+def _delta_encode(vals: np.ndarray, firsts: np.ndarray) -> np.ndarray:
+    """Concatenated ascending runs -> varbyte-ready gaps: absolute at each
+    run start (``firsts`` boolean mask), (delta - 1) elsewhere."""
+    gaps = np.empty(vals.size, dtype=np.int64)
+    gaps[firsts] = vals[firsts]
+    rest = ~firsts
+    gaps[rest] = vals[rest] - vals[np.flatnonzero(rest) - 1] - 1
+    assert np.all(gaps >= 0), "runs must be strictly increasing"
+    return gaps.astype(np.uint64)
+
+
+def _delta_decode(raw: np.ndarray, firsts: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`_delta_encode` via one grouped cumsum."""
+    if raw.size == 0:
+        return raw.astype(np.int64)
+    adj = raw.astype(np.int64) + 1
+    adj[firsts] = raw[firsts]
+    c = np.cumsum(adj)
+    starts = np.flatnonzero(firsts)
+    run_id = np.cumsum(firsts) - 1
+    prefix = (c[starts] - adj[starts])[run_id]
+    return c - prefix
+
+
+def decode_term_positions(pdocs: bytes, pcounts: bytes, pstream: bytes
+                          ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_ids, counts, flat_positions): positions of doc i are
+    ``flat[offs[i]:offs[i]+counts[i]]`` with ``offs = cumsum(counts) -
+    counts``; each doc's sublist is strictly increasing."""
+    counts = varbyte_decode(pcounts).astype(np.int64)
+    n_docs = counts.size
+    dgaps = varbyte_decode(pdocs)
+    first_doc = np.zeros(n_docs, dtype=bool)
+    if n_docs:
+        first_doc[0] = True
+    docs = _delta_decode(dgaps, first_doc)
+    raw = varbyte_decode(pstream)
+    firsts = np.zeros(int(counts.sum()), dtype=bool)
+    if firsts.size:
+        firsts[np.cumsum(counts) - counts] = True
+    flat = _delta_decode(raw, firsts)
+    return docs, counts, flat
+
+
+def doc_lemma_positions(docs: DataFrame, text_col: str = "content") -> DataFrame:
+    """(repo?, doc_id, text) -> (doc_id, lemma, positions array<int>) with
+    ZERO shuffle — a doc's positional stream is computed entirely map-side
+    (mapInPandas, vectorized pandas string ops; only the rare exception-
+    table tokens round-trip through Python), mirroring the pinned
+    ``analyze_positions`` exactly: position = rank of the surviving source
+    token, multi-lemma tokens emit every form at ONE position."""
+    import pandas as pd  # noqa: F401
+
+    from ..analyzer import _CAMEL_1, _CAMEL_2, _STRIP_PY
+    from ..analyzer import MIN_TOKEN_LEN, NORMAL_FORMS, STOP_WORDS
+
+    schema = "doc_id long, lemma string, positions array<int>"
+    narrowed = docs.select("doc_id", text_col)
+
+    def _batches(it):
+        import pandas as pd
+
+        forms = {k: list(v) for k, v in NORMAL_FORMS.items()}
+        for pdf in it:
+            if pdf.empty:
+                continue
+            s = pdf[text_col].fillna("")
+            s = s.str.replace(_CAMEL_1[0], r"\1 \2", regex=True)
+            s = s.str.replace(_CAMEL_2[0], r"\1 \2", regex=True)
+            s = s.str.lower().str.replace(_STRIP_PY, " ", regex=True)
+            flat = s.str.split().explode().dropna()
+            keep = (flat.str.len() >= MIN_TOKEN_LEN) & ~flat.isin(STOP_WORDS)
+            flat = flat[keep]
+            if flat.empty:
+                continue
+            base = pd.DataFrame({
+                "doc_id": pdf["doc_id"].reindex(flat.index).values,
+                "lemma": flat.values,
+                # position over SURVIVING tokens, per doc — the
+                # analyze_positions index
+                "pos": flat.groupby(level=0).cumcount().values,
+            })
+            has_exc = base["lemma"].isin(forms.keys())
+            if has_exc.any():
+                exc = base[has_exc].copy()
+                exc["lemma"] = exc["lemma"].map(forms)
+                exc = exc.explode("lemma")
+                base = pd.concat([base[~has_exc], exc], ignore_index=True)
+            # group (doc, lemma) -> sorted position list via one lexsort +
+            # boundary split (no per-group Python apply)
+            d = base["doc_id"].to_numpy(dtype=np.int64)
+            le, lemmas = pd.factorize(base["lemma"], sort=True)
+            p = base["pos"].to_numpy(dtype=np.int64)
+            order = np.lexsort((p, le, d))
+            d, le, p = d[order], le[order], p[order]
+            bnd = np.empty(d.size, dtype=bool)
+            bnd[0] = True
+            bnd[1:] = (d[1:] != d[:-1]) | (le[1:] != le[:-1])
+            starts = np.flatnonzero(bnd)
+            ends = np.concatenate([starts[1:], [d.size]])
+            yield pd.DataFrame({
+                "doc_id": d[starts],
+                "lemma": lemmas.take(le[starts]),
+                "positions": [p[s:e].astype("int32") for s, e in
+                              zip(starts, ends)],
+            })
+
+    return narrowed.mapInPandas(_batches, schema=schema)
+
+
+def build_positions(docs_ingested: DataFrame, index_dir: str,
+                    segments: list[int] | None = None) -> dict:
+    """Build (or refresh) the positional sidecar for ``segments`` (None =
+    every segment of the existing index) and set ``meta.has_positions``.
+
+    Same at-scale shape as the main build: map-side positional analyzer
+    (no shuffle), salted bounded-key partial runs, coarse (segment, bucket)
+    merge-encode groups, dynamic partition overwrite with stale-dir
+    deletion.  MUST run against the same corpus state as the index data
+    (the caller's contract — rebuild_segments wires it for incremental
+    flows)."""
+    from pyspark.sql import functions as F
+
+    from .builder import hash_bucket_col, seg_ranges_filter
+
+    spark = docs_ingested.sparkSession
+    with open(f"{index_dir}/meta.json") as fh:
+        meta = json.load(fh)
+    seg_size = int(meta["seg_size"])
+    n_buckets = int(meta["n_buckets"])
+    salt = int(meta["salt"])
+    target = sorted(segments) if segments is not None else list(
+        range(int(meta["n_segments"])))
+    if not target:
+        return meta
+
+    docs = docs_ingested.select("doc_id", "content")
+    if segments is not None:
+        docs = docs.filter(seg_ranges_filter(target, seg_size))
+    pos = doc_lemma_positions(docs)
+    seg_col = (F.col("doc_id") / seg_size).cast("int")
+    runs = (
+        pos.withColumn("segment", seg_col)
+        .filter(F.col("segment").isin(target))
+        .withColumn("_salt", F.pmod(F.col("doc_id"), F.lit(salt)).cast("int"))
+        .groupBy("segment", "lemma", "_salt")
+        .agg(F.sort_array(
+            F.collect_list(F.struct("doc_id", "positions"))).alias("run"))
+        .select(
+            "segment", "lemma",
+            hash_bucket_col(F.col("lemma"), n_buckets).alias("bucket"),
+            F.col("run.doc_id").alias("r_docs"),
+            F.col("run.positions").alias("r_pos"),
+        )
+    )
+
+    def _merge(pdf):
+        import pandas as pd
+
+        cols = ["segment", "lemma", "df", "pdocs", "pcounts", "pstream",
+                "bucket"]
+        if pdf.empty:
+            return pd.DataFrame([], columns=cols)
+        seg = int(pdf["segment"].iloc[0])
+        bucket = int(pdf["bucket"].iloc[0])
+        run_lens = np.fromiter((len(a) for a in pdf["r_docs"]),
+                               dtype=np.int64, count=len(pdf))
+        codes, lemmas = pd.factorize(pdf["lemma"], sort=True)
+        rid = np.repeat(codes, run_lens)
+        docs = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in pdf["r_docs"]])
+        plists = np.empty(docs.size, dtype=object)
+        i = 0
+        for runp in pdf["r_pos"]:
+            for pl in runp:
+                plists[i] = np.asarray(pl, dtype=np.int64)
+                i += 1
+        order = np.lexsort((docs, rid))  # runs disjoint by salt: ids strict
+        docs, rid, plists = docs[order], rid[order], plists[order]
+        counts = np.fromiter((a.size for a in plists), dtype=np.int64,
+                             count=plists.size)
+        flat = (np.concatenate(plists) if plists.size
+                else np.zeros(0, dtype=np.int64))
+        n_per_lemma = np.bincount(rid, minlength=len(lemmas))
+        doc_off = np.concatenate([[0], np.cumsum(n_per_lemma)])
+        pos_per_doc_off = np.cumsum(counts) - counts  # flat start per doc
+        # doc-gap stream: absolute at each lemma's first doc
+        first_doc = np.zeros(docs.size, dtype=bool)
+        first_doc[doc_off[:-1]] = True
+        dgaps = _delta_encode(docs, first_doc)
+        # position stream: absolute at each doc's first position
+        firsts = np.zeros(flat.size, dtype=bool)
+        if flat.size:
+            firsts[pos_per_doc_off] = True
+        pgaps = _delta_encode(flat, firsts)
+        out = []
+        for t in range(len(lemmas)):
+            s, e = int(doc_off[t]), int(doc_off[t + 1])
+            ps = int(pos_per_doc_off[s]) if s < e else 0
+            pe = (int(pos_per_doc_off[e - 1] + counts[e - 1])
+                  if s < e else 0)
+            out.append({
+                "segment": seg,
+                "lemma": lemmas[t],
+                "df": int(e - s),
+                "pdocs": varbyte_encode(dgaps[s:e]).tobytes(),
+                "pcounts": varbyte_encode(
+                    counts[s:e].astype(np.uint64)).tobytes(),
+                "pstream": varbyte_encode(pgaps[ps:pe]).tobytes(),
+                "bucket": bucket,
+            })
+        return pd.DataFrame(out, columns=cols)
+
+    for s in target:
+        shutil.rmtree(f"{index_dir}/positions/segment={s}",
+                      ignore_errors=True)
+    (
+        runs.groupBy("segment", "bucket")
+        .applyInPandas(_merge, schema=POS_SCHEMA_DDL)
+        .repartition("segment", "bucket")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("segment", "bucket")
+        .parquet(f"{index_dir}/positions")
+    )
+    # re-read meta (build_index may have updated it) and flip the flag LAST
+    with open(f"{index_dir}/meta.json") as fh:
+        meta = json.load(fh)
+    meta["has_positions"] = True
+    with open(f"{index_dir}/meta.json", "w") as fh:
+        json.dump(meta, fh, indent=1)
+    return meta
+
+
+def read_positions(spark: SparkSession, index_dir: str,
+                   lemmas: list[str] | None = None) -> DataFrame:
+    """Bucket-pruned read of the positional sidecar (same pruning contract
+    as builder.read_index)."""
+    from pyspark.sql import functions as F
+
+    from .builder import hash_bucket
+
+    with open(f"{index_dir}/meta.json") as fh:
+        meta = json.load(fh)
+    if not _glob.glob(f"{index_dir}/positions/segment=*"):
+        return spark.createDataFrame([], POS_SCHEMA_DDL)
+    df = spark.read.schema(POS_SCHEMA_DDL).parquet(f"{index_dir}/positions")
+    if lemmas is not None:
+        buckets = sorted({hash_bucket(x, meta["n_buckets"]) for x in lemmas})
+        df = (df.filter(F.col("bucket").isin(buckets))
+              .filter(F.col("lemma").isin(lemmas)))
+    return df
+
+
+def phrase_topk_positions(spark: SparkSession, index_dir: str, phrase: str,
+                          k: int = 10) -> DataFrame:
+    """Top-k (doc_id, phrase_tf) from the positional sidecar alone — exact,
+    store-free, O(query-term postings) even for a phrase of two common
+    words.  Row-identical to index/phrase.py's store-verify path (same
+    ``analyze_positions`` pattern contract on both sides; parity-tested)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    out_schema = "doc_id long, phrase_tf long"
+    empty = spark.createDataFrame([], out_schema)
+    qforms = [frozenset(p) for p in analyze_positions(phrase)]
+    if not qforms:
+        return empty
+    all_forms = sorted({f for fs in qforms for f in fs})
+    positions_of: dict[str, list[int]] = {}
+    for j, fs in enumerate(qforms):
+        for f in fs:
+            positions_of.setdefault(f, []).append(j)
+    n_pos = len(qforms)
+    with open(f"{index_dir}/meta.json") as fh:
+        seg_size = int(json.load(fh)["seg_size"])
+
+    pdf_src = read_positions(spark, index_dir, all_forms)
+
+    def _seg(pdf: pd.DataFrame) -> pd.DataFrame:
+        e_ = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                           "phrase_tf": pd.Series([], dtype="int64")})
+        seg = int(pdf["segment"].iloc[0])
+        base = seg * seg_size
+        # decode every form once; collect per-SLOT (local_doc, pos) keys
+        by_slot: dict[int, list[np.ndarray]] = {}
+        max_pos = 0
+        decoded = []
+        for r in pdf.itertuples():
+            docs, counts, flat = decode_term_positions(
+                r.pdocs, r.pcounts, r.pstream)
+            if flat.size:
+                max_pos = max(max_pos, int(flat.max()))
+            decoded.append((r.lemma, docs, counts, flat))
+        K = max_pos + 2
+        for lemma, docs, counts, flat in decoded:
+            local = np.repeat(docs - base, counts)
+            for j in positions_of[lemma]:
+                ok = flat >= j  # a start at pos-j must be >= 0
+                by_slot.setdefault(j, []).append(
+                    local[ok] * K + (flat[ok] - j))
+        if len(by_slot) < n_pos:
+            return e_  # some slot has no form in this segment
+        acc: np.ndarray | None = None
+        # rarest slot first: the intersection can only shrink
+        order = sorted(range(n_pos),
+                       key=lambda j: sum(a.size for a in by_slot[j]))
+        for j in order:
+            keys = np.unique(np.concatenate(by_slot[j]))
+            acc = keys if acc is None else np.intersect1d(
+                acc, keys, assume_unique=True)
+            if acc.size == 0:
+                return e_
+        start_docs = base + acc // K
+        ids, tf = np.unique(start_docs, return_counts=True)
+        return pd.DataFrame({"doc_id": ids, "phrase_tf": tf})
+
+    local = pdf_src.groupBy("segment").applyInPandas(_seg, schema=out_schema)
+    return (
+        local.orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -111,10 +111,14 @@ def rebuild_segments(docs_ingested: DataFrame, index_dir: str,
     avgdl; a full rebuild refreshes it).  Every incremental path — doc-id
     upserts, streaming micro-batches, store deletes — funnels through
     here so the rebuild contract lives in one place."""
+    import glob as _glob
+
     from ..index.builder import build_index
 
     with open(f"{index_dir}/meta.json") as fh:
         meta = json.load(fh)
+    had_positions = bool(meta.get("has_positions")) or bool(
+        _glob.glob(f"{index_dir}/positions/segment=*"))
     for s in segs:
         p = pathlib.Path(f"{index_dir}/manifests/segment={s}.json")
         if p.exists():
@@ -125,6 +129,13 @@ def rebuild_segments(docs_ingested: DataFrame, index_dir: str,
         resume=True,  # seg_size/salt/buckets/block_size/avgdl pinned from meta
         fixed_avgdl=meta["avgdl"],
     )
+    if had_positions:
+        # the meta rewrite above cleared has_positions (stale positions are
+        # never served); refresh the sidecar for the rebuilt segments and
+        # re-enable — O(rebuilt ranges), same discipline as data/dict/sites
+        from ..index.positions import build_positions
+
+        build_positions(docs_ingested, index_dir, segs)
     return segs
 
 
