@@ -542,6 +542,11 @@ def build_index(
             tot_p += int(m["posting_count"])
     if tot_p:
         meta["bytes_per_posting"] = round(tot_b / tot_p, 3)
+        # whole-index posting bytes: when this fits under a broker's local
+        # threshold NO term can exceed it, so the serving estimate (one
+        # pruned dict job per cold term) is skipped entirely — small
+        # indexes keep the one-collect cold path
+        meta["posting_bytes"] = int(tot_b)
         with open(f"{out_dir}/meta.json", "w") as fh:
             json.dump(meta, fh, indent=1)
     timings["manifests_s"] = round(_time.perf_counter() - _t, 2)

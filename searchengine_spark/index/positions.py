@@ -120,69 +120,100 @@ def decode_term_positions(pdocs: bytes, pcounts: bytes, pstream: bytes
 
 
 def doc_lemma_positions(docs: DataFrame, text_col: str = "content") -> DataFrame:
-    """(repo?, doc_id, text) -> (doc_id, lemma, positions array<int>) with
-    ZERO shuffle — a doc's positional stream is computed entirely map-side
-    (mapInPandas, vectorized pandas string ops; only the rare exception-
-    table tokens round-trip through Python), mirroring the pinned
-    ``analyze_positions`` exactly: position = rank of the surviving source
-    token, multi-lemma tokens emit every form at ONE position."""
-    import pandas as pd  # noqa: F401
+    """(repo?, doc_id, text) -> FLAT (doc_id, lemma, pos) rows, one per
+    occurrence, with ZERO shuffle — a doc's positional stream is computed
+    entirely map-side, mirroring the pinned ``analyze_positions`` exactly:
+    position = rank of the surviving source token, multi-lemma tokens emit
+    every form at ONE position.
 
+    Executed via ``mapInArrow`` + pyarrow compute kernels over contiguous
+    buffers (the same shape as analyzer.doc_term_stats_arrow — the first
+    positional cut used pandas object lists per (doc, lemma) and measured
+    ~3x the main build; flat primitive rows let the JVM assemble the runs
+    and the merge stay pure numpy).  Only the rare exception-table tokens
+    round-trip through Python."""
     from ..analyzer import _CAMEL_1, _CAMEL_2, _STRIP_PY
     from ..analyzer import MIN_TOKEN_LEN, NORMAL_FORMS, STOP_WORDS
 
-    schema = "doc_id long, lemma string, positions array<int>"
+    schema = "doc_id long, lemma string, pos int"
     narrowed = docs.select("doc_id", text_col)
 
     def _batches(it):
-        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        forms = {k: list(v) for k, v in NORMAL_FORMS.items()}
-        for pdf in it:
-            if pdf.empty:
+        stop_set = pa.array(sorted(STOP_WORDS))
+        exc_set = pa.array(list(NORMAL_FORMS))
+        for batch in it:
+            if batch.num_rows == 0:
                 continue
-            s = pdf[text_col].fillna("")
-            s = s.str.replace(_CAMEL_1[0], r"\1 \2", regex=True)
-            s = s.str.replace(_CAMEL_2[0], r"\1 \2", regex=True)
-            s = s.str.lower().str.replace(_STRIP_PY, " ", regex=True)
-            flat = s.str.split().explode().dropna()
-            keep = (flat.str.len() >= MIN_TOKEN_LEN) & ~flat.isin(STOP_WORDS)
-            flat = flat[keep]
-            if flat.empty:
+            content = batch.column(batch.schema.get_field_index(text_col))
+            x = pc.fill_null(content, "")
+            x = pc.replace_substring_regex(x, pattern=_CAMEL_1[0],
+                                           replacement=r"\1 \2")
+            x = pc.replace_substring_regex(x, pattern=_CAMEL_2[0],
+                                           replacement=r"\1 \2")
+            x = pc.utf8_lower(x)
+            x = pc.replace_substring_regex(x, pattern=_STRIP_PY,
+                                           replacement=" ")
+            lists = pc.split_pattern_regex(x, pattern=r"\s+")
+            toks = pc.list_flatten(lists)
+            par = pc.list_parent_indices(lists)
+            keep = pc.and_(
+                pc.greater_equal(pc.utf8_length(toks), MIN_TOKEN_LEN),
+                pc.invert(pc.is_in(toks, value_set=stop_set)),
+            )
+            # split_pattern_regex emits '' for leading/trailing whitespace;
+            # MIN_TOKEN_LEN drops them with the short tokens
+            toks = pc.filter(toks, keep)
+            par = pc.filter(par, keep)
+            if len(toks) == 0:
                 continue
-            base = pd.DataFrame({
-                "doc_id": pdf["doc_id"].reindex(flat.index).values,
-                "lemma": flat.values,
-                # position over SURVIVING tokens, per doc — the
-                # analyze_positions index
-                "pos": flat.groupby(level=0).cumcount().values,
-            })
-            has_exc = base["lemma"].isin(forms.keys())
-            if has_exc.any():
-                exc = base[has_exc].copy()
-                exc["lemma"] = exc["lemma"].map(forms)
-                exc = exc.explode("lemma")
-                base = pd.concat([base[~has_exc], exc], ignore_index=True)
-            # group (doc, lemma) -> sorted position list via one lexsort +
-            # boundary split (no per-group Python apply)
-            d = base["doc_id"].to_numpy(dtype=np.int64)
-            le, lemmas = pd.factorize(base["lemma"], sort=True)
-            p = base["pos"].to_numpy(dtype=np.int64)
-            order = np.lexsort((p, le, d))
-            d, le, p = d[order], le[order], p[order]
-            bnd = np.empty(d.size, dtype=bool)
-            bnd[0] = True
-            bnd[1:] = (d[1:] != d[:-1]) | (le[1:] != le[:-1])
-            starts = np.flatnonzero(bnd)
-            ends = np.concatenate([starts[1:], [d.size]])
-            yield pd.DataFrame({
-                "doc_id": d[starts],
-                "lemma": lemmas.take(le[starts]),
-                "positions": [p[s:e].astype("int32") for s, e in
-                              zip(starts, ends)],
-            })
+            # position over SURVIVING tokens, per doc: arange minus each
+            # doc-run's first index (par is non-decreasing in token order)
+            parn = par.to_numpy(zero_copy_only=False).astype(np.int64)
+            new_doc = np.empty(parn.size, dtype=bool)
+            new_doc[0] = True
+            new_doc[1:] = parn[1:] != parn[:-1]
+            starts = np.flatnonzero(new_doc)
+            run_len = np.diff(np.concatenate([starts, [parn.size]]))
+            pos = np.arange(parn.size, dtype=np.int64) - np.repeat(
+                starts, run_len)
+            pos_arr = pa.array(pos, type=pa.int32())
+            # multi-lemma expansion: exception tokens are rare, so only
+            # THAT subset round-trips through Python (same pos, every form)
+            exc_mask = pc.is_in(toks, value_set=exc_set)
+            if (pc.sum(exc_mask).as_py() or 0) > 0:
+                base_mask = pc.invert(exc_mask)
+                bt = pc.filter(toks, base_mask)
+                bp = pc.filter(par, base_mask)
+                bpos = pc.filter(pos_arr, base_mask)
+                et = pc.filter(toks, exc_mask).to_pylist()
+                ep = pc.filter(par, exc_mask).to_pylist()
+                epos = pc.filter(pos_arr, exc_mask).to_pylist()
+                xt: list[str] = []
+                xp: list[int] = []
+                xpos: list[int] = []
+                for tkn, p_, q_ in zip(et, ep, epos):
+                    for form in NORMAL_FORMS[tkn]:
+                        xt.append(form)
+                        xp.append(p_)
+                        xpos.append(q_)
+                toks = pa.concat_arrays([bt, pa.array(xt, type=bt.type)])
+                par = pa.concat_arrays([bp, pa.array(xp, type=bp.type)])
+                pos_arr = pa.concat_arrays(
+                    [bpos, pa.array(xpos, type=pa.int32())])
+            id_idx = batch.schema.get_field_index("doc_id")
+            yield pa.record_batch(
+                [
+                    pc.cast(pc.take(batch.column(id_idx), par), pa.int64()),
+                    pc.cast(toks, pa.string()),
+                    pos_arr,
+                ],
+                names=["doc_id", "lemma", "pos"],
+            )
 
-    return narrowed.mapInPandas(_batches, schema=schema)
+    return narrowed.mapInArrow(_batches, schema=schema)
 
 
 def build_positions(docs_ingested: DataFrame, index_dir: str,
@@ -216,18 +247,22 @@ def build_positions(docs_ingested: DataFrame, index_dir: str,
         docs = docs.filter(seg_ranges_filter(target, seg_size))
     pos = doc_lemma_positions(docs)
     seg_col = (F.col("doc_id") / seg_size).cast("int")
+    # salted runs travel as two ALIGNED primitive arrays — one entry per
+    # OCCURRENCE (struct-field extraction after sort_array, JVM-side);
+    # sort_array over struct(doc_id, pos) yields (doc, pos) order, so the
+    # merge below is pure numpy over flat buffers (no object lists)
     runs = (
         pos.withColumn("segment", seg_col)
         .filter(F.col("segment").isin(target))
         .withColumn("_salt", F.pmod(F.col("doc_id"), F.lit(salt)).cast("int"))
         .groupBy("segment", "lemma", "_salt")
         .agg(F.sort_array(
-            F.collect_list(F.struct("doc_id", "positions"))).alias("run"))
+            F.collect_list(F.struct("doc_id", "pos"))).alias("run"))
         .select(
             "segment", "lemma",
             hash_bucket_col(F.col("lemma"), n_buckets).alias("bucket"),
             F.col("run.doc_id").alias("r_docs"),
-            F.col("run.positions").alias("r_pos"),
+            F.col("run.pos").alias("r_pos"),
         )
     )
 
@@ -246,36 +281,34 @@ def build_positions(docs_ingested: DataFrame, index_dir: str,
         rid = np.repeat(codes, run_lens)
         docs = np.concatenate(
             [np.asarray(a, dtype=np.int64) for a in pdf["r_docs"]])
-        plists = np.empty(docs.size, dtype=object)
-        i = 0
-        for runp in pdf["r_pos"]:
-            for pl in runp:
-                plists[i] = np.asarray(pl, dtype=np.int64)
-                i += 1
-        order = np.lexsort((docs, rid))  # runs disjoint by salt: ids strict
-        docs, rid, plists = docs[order], rid[order], plists[order]
-        counts = np.fromiter((a.size for a in plists), dtype=np.int64,
-                             count=plists.size)
-        flat = (np.concatenate(plists) if plists.size
-                else np.zeros(0, dtype=np.int64))
-        n_per_lemma = np.bincount(rid, minlength=len(lemmas))
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in pdf["r_pos"]])
+        # runs are disjoint by salt and each is (doc, pos)-sorted, so the
+        # lexsort yields strictly increasing (doc, pos) per lemma
+        order = np.lexsort((flat, docs, rid))
+        docs, rid, flat = docs[order], rid[order], flat[order]
+        # boundaries: new (lemma, doc) pair / new lemma
+        nd = np.empty(docs.size, dtype=bool)
+        nd[0] = True
+        nd[1:] = (rid[1:] != rid[:-1]) | (docs[1:] != docs[:-1])
+        nl = np.empty(docs.size, dtype=bool)
+        nl[0] = True
+        nl[1:] = rid[1:] != rid[:-1]
+        doc_rows = np.flatnonzero(nd)          # one row per (lemma, doc)
+        counts = np.diff(np.concatenate([doc_rows, [docs.size]]))
+        lem_docs = docs[doc_rows]              # per-(lemma,doc) doc ids
+        lem_of_doc = rid[doc_rows]
+        first_doc = nl[doc_rows]               # lemma start in doc list
+        n_per_lemma = np.bincount(lem_of_doc, minlength=len(lemmas))
         doc_off = np.concatenate([[0], np.cumsum(n_per_lemma)])
-        pos_per_doc_off = np.cumsum(counts) - counts  # flat start per doc
-        # doc-gap stream: absolute at each lemma's first doc
-        first_doc = np.zeros(docs.size, dtype=bool)
-        first_doc[doc_off[:-1]] = True
-        dgaps = _delta_encode(docs, first_doc)
-        # position stream: absolute at each doc's first position
-        firsts = np.zeros(flat.size, dtype=bool)
-        if flat.size:
-            firsts[pos_per_doc_off] = True
-        pgaps = _delta_encode(flat, firsts)
+        pos_off = doc_rows                     # flat start per (lemma,doc)
+        dgaps = _delta_encode(lem_docs, first_doc)
+        pgaps = _delta_encode(flat, nd)        # absolute at each doc start
         out = []
         for t in range(len(lemmas)):
             s, e = int(doc_off[t]), int(doc_off[t + 1])
-            ps = int(pos_per_doc_off[s]) if s < e else 0
-            pe = (int(pos_per_doc_off[e - 1] + counts[e - 1])
-                  if s < e else 0)
+            ps = int(pos_off[s]) if s < e else 0
+            pe = (int(pos_off[e - 1] + counts[e - 1]) if s < e else 0)
             out.append({
                 "segment": seg,
                 "lemma": lemmas[t],

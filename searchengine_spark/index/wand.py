@@ -421,7 +421,11 @@ class QueryEngine:
         # build-time average posting width: df * _bpp predicts a term's
         # driver-side bytes BEFORE any collect.  Indexes built before the
         # estimate existed fall back to a conservative constant.
+        # _index_bytes (whole-index posting bytes) short-circuits the
+        # estimate when the ENTIRE index fits under a query's threshold —
+        # no term can exceed it, so small indexes skip the dict job.
         self._bpp = float(self.meta.get("bytes_per_posting") or 8.0)
+        self._index_bytes: int | None = self.meta.get("posting_bytes")
         # LAZY cache: .cache() only marks the plan — bucket-pruned term reads
         # warm exactly the partitions they touch.  An eager .count() here
         # would materialize the WHOLE index (init cost + cluster cache
@@ -610,10 +614,13 @@ class QueryEngine:
                 fetch.append(t)
         if not fetch:
             return 0
-        gdf = self._gdf_for(fetch)
-        if gdf is not None:
-            fetch = [t for t in fetch
-                     if gdf.get(t, 0) * self._bpp <= local_threshold_bytes]
+        gdf = None
+        if (self._index_bytes is None
+                or self._index_bytes > local_threshold_bytes):
+            gdf = self._gdf_for(fetch)
+            if gdf is not None:
+                fetch = [t for t in fetch if
+                         gdf.get(t, 0) * self._bpp <= local_threshold_bytes]
         if fetch:
             self._fetch_terms(fetch, floor=len(lemmas), gdf_hint=gdf)
         return len(fetch)
@@ -652,9 +659,12 @@ class QueryEngine:
         for t in qlemmas:
             if t in self._term_cache:
                 self._term_cache.move_to_end(t)
-        gdf = None
         if fetch:
-            gdf = self._gdf_for(qlemmas)  # dict rows only — no posting bytes
+            gdf = None
+            if (self._index_bytes is None
+                    or self._index_bytes > local_threshold_bytes):
+                # dict rows only — no posting bytes move for the estimate
+                gdf = self._gdf_for(qlemmas)
             if gdf is not None:
                 est = sum(
                     self._cache_nb[t] if t in self._term_cache
