@@ -167,17 +167,26 @@ _camel2_re = re.compile(_CAMEL_2[0])
 _strip_re = re.compile(_STRIP_PY)
 
 
-def analyze(text: str, normalizer: str = "pinned") -> list[str]:
+def analyze(text: str, normalizer: str = "pinned",
+            forms: dict[str, tuple[str, ...]] | None = None) -> list[str]:
     """text -> lemma stream (with repetition).  ``normalizer='pinned'`` is
     the fixture contract (exception table); ``'stem'`` swaps in the suffix
     stemmer (the pluggable-slot exercise); ``'porter'`` the full five-step
     Porter stemmer (functions/porter.py — the slot's complete English
-    normalizer, standing in for the reference's
-    LemmaFinderImpl.java:49-60 morphology)."""
-    return [f for forms in analyze_positions(text, normalizer) for f in forms]
+    normalizer); ``'dict'`` a DICTIONARY morphology: ``forms`` maps a
+    surface token to its tuple of normal forms, EVERY form counted — the
+    reference's RussianLuceneMorphology shape
+    (LemmaFinderImpl.java:40-44/49-60), where one inflected token may emit
+    several lemmas.  The pinned exception table is exactly this mechanism
+    with a 2-entry dictionary; 'dict' opens the slot to an arbitrary-size
+    one without touching the golden fixtures."""
+    return [f for fs in analyze_positions(text, normalizer, forms)
+            for f in fs]
 
 
-def analyze_positions(text: str, normalizer: str = "pinned") -> list[tuple[str, ...]]:
+def analyze_positions(text: str, normalizer: str = "pinned",
+                      forms: dict[str, tuple[str, ...]] | None = None,
+                      ) -> list[tuple[str, ...]]:
     """Positional variant of :func:`analyze`: one entry per SURVIVING source
     token, holding the tuple of its normal forms.  Where :func:`analyze`
     flattens a multi-lemma token into several stream entries (each counted
@@ -191,14 +200,18 @@ def analyze_positions(text: str, normalizer: str = "pinned") -> list[tuple[str, 
     s = _camel1_re.sub(r"\1 \2", text)
     s = _camel2_re.sub(r"\1 \2", s)
     s = _strip_re.sub(" ", s.lower())
+    norm = None
+    table = NORMAL_FORMS
     if normalizer == "porter":
         from .functions.porter import porter_stem
 
         norm = porter_stem
     elif normalizer == "stem":
         norm = stem_token
-    else:
-        norm = None
+    elif normalizer == "dict":
+        if forms is None:
+            raise ValueError("normalizer='dict' needs a forms mapping")
+        table = forms
     out: list[tuple[str, ...]] = []
     for tok in s.split():
         if len(tok) < MIN_TOKEN_LEN or tok in STOP_WORDS:
@@ -206,7 +219,7 @@ def analyze_positions(text: str, normalizer: str = "pinned") -> list[tuple[str, 
         if norm is not None:
             out.append((norm(tok),))
         else:
-            out.append(NORMAL_FORMS.get(tok, (tok,)))
+            out.append(tuple(table.get(tok, (tok,))))
     return out
 
 
@@ -231,7 +244,8 @@ def _jvm_token_col(text_col):
 
 def tokenize_jvm(docs: DataFrame, text_col: str = "content",
                  id_cols: str | list[str] = "doc_id",
-                 normalizer: str = "pinned") -> DataFrame:
+                 normalizer: str = "pinned",
+                 forms: dict[str, tuple[str, ...]] | None = None) -> DataFrame:
     """(ids..., text) -> (ids..., lemma) one row per lemma occurrence.
 
     Entirely whole-stage-codegen: regexp_replace/lower/split/explode, a
@@ -269,9 +283,23 @@ def tokenize_jvm(docs: DataFrame, text_col: str = "content",
             _stem_vocab, schema="token string, lemma string"
         )
         return toks.join(vocab, "token").select(*ids, "lemma")
-    if NORMAL_FORMS:
+    # dictionary morphology: surface token -> ALL normal forms, every form
+    # counted (LemmaFinderImpl.java:40-44).  The pinned path is this exact
+    # mechanism with the 2-entry fixture table; 'dict' takes an arbitrary
+    # dictionary.  Broadcast left join + explode: the dictionary is a
+    # bounded vocabulary artifact (MBs at any corpus size — the reference
+    # holds its whole morphology in one singleton,
+    # LemmaFinderImpl.java:25-31), so broadcasting is the right call even
+    # where forced broadcasts are otherwise banned.
+    if normalizer == "dict":
+        if forms is None:
+            raise ValueError("normalizer='dict' needs a forms mapping")
+        table = forms
+    else:
+        table = NORMAL_FORMS
+    if table:
         exc = spark.createDataFrame(
-            [(k, list(v)) for k, v in NORMAL_FORMS.items()], "token string, forms array<string>"
+            [(k, list(v)) for k, v in table.items()], "token string, forms array<string>"
         )
         toks = (
             toks.join(F.broadcast(exc), "token", "left")
@@ -292,7 +320,8 @@ def tokenize_jvm(docs: DataFrame, text_col: str = "content",
 
 def tokenize_arrow(docs: DataFrame, text_col: str = "content",
                    id_cols: str | list[str] = "doc_id",
-                   normalizer: str = "pinned") -> DataFrame:
+                   normalizer: str = "pinned",
+                   forms: dict[str, tuple[str, ...]] | None = None) -> DataFrame:
     """Same contract as :func:`tokenize_jvm`, executed as a vectorized
     pandas/Arrow UDF (``mapInPandas``) — the BASELINE.json ``input_hint``
     shape, and the hook where a real (non-regex) analyzer would live.
@@ -308,11 +337,17 @@ def tokenize_arrow(docs: DataFrame, text_col: str = "content",
     )
     out_schema = f"{id_fields}, lemma string"
     narrowed = docs.select(*ids, text_col)
+    if normalizer == "dict":
+        if forms is None:
+            raise ValueError("normalizer='dict' needs a forms mapping")
+        table = {k: list(v) for k, v in forms.items()}
+    else:
+        table = {k: list(v) for k, v in NORMAL_FORMS.items()}
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as pd
 
-        forms = {k: list(v) for k, v in NORMAL_FORMS.items()}
+        forms = table  # closure: pinned fixture table or the user dictionary
         for pdf in it:
             if pdf.empty:
                 continue

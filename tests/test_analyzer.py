@@ -225,3 +225,82 @@ def test_doc_term_stats_arrow_equals_pandas(spark, corpus_rows):
     p = {(r["repo"], r["doc_id"], r["lemma"]): (r["tf"], r["dl"])
          for r in doc_term_stats_pandas(df).collect()}
     assert a == p and len(a) > 1000
+
+
+def _inflection_dict(rows) -> dict[str, tuple[str, ...]]:
+    """Dictionary-morphology fixture: a few hundred surface forms derived
+    from the corpus vocabulary, several mapping to MULTIPLE normal forms —
+    the reference's RussianLuceneMorphology shape (one inflected token may
+    emit several lemmas, LemmaFinderImpl.java:40-44)."""
+    from searchengine_spark.analyzer import MIN_TOKEN_LEN, STOP_WORDS
+
+    vocab = sorted({
+        t for _, _, _, _, content in rows
+        for t in analyze(content)
+    })
+    table: dict[str, tuple[str, ...]] = {}
+    for i, t in enumerate(vocab[:300]):
+        if len(t) < MIN_TOKEN_LEN or t in STOP_WORDS:
+            continue
+        if i % 3 == 0:
+            table[t] = (t[:4] + "_base",)                  # single lemma
+        elif i % 3 == 1:
+            table[t] = (t[:4] + "_verb", t[:4] + "_noun")  # ambiguous: TWO
+        # i % 3 == 2: not in the dictionary -> identity
+    return table
+
+
+def test_dict_normalizer_three_way_agree(spark, corpus_rows):
+    """normalizer='dict' (dictionary-grade morphology in the pluggable
+    slot): the pure-Python, Catalyst (broadcast-join + explode) and Arrow
+    executions must agree exactly under a ~200-entry multi-form dictionary;
+    the pinned golden fixtures are untouched (separate normalizer value)."""
+    from searchengine_spark.schema import DOCS_SCHEMA
+
+    sample = corpus_rows[:60]
+    table = _inflection_dict(sample)
+    assert sum(1 for v in table.values() if len(v) > 1) > 30  # real ambiguity
+    df = spark.createDataFrame(sample, DOCS_SCHEMA).selectExpr(
+        "path as doc_key", "content"
+    )
+    jvm = Counter(
+        (r["doc_key"], r["lemma"])
+        for r in tokenize_jvm(df, id_cols="doc_key", normalizer="dict",
+                              forms=table).collect()
+    )
+    arrow = Counter(
+        (r["doc_key"], r["lemma"])
+        for r in tokenize_arrow(df, id_cols="doc_key", normalizer="dict",
+                                forms=table).collect()
+    )
+    pure = Counter()
+    for repo, path, commit, lang, content in sample:
+        for lemma in analyze(content, normalizer="dict", forms=table):
+            pure[(path, lemma)] += 1
+    assert jvm == pure
+    assert arrow == pure
+    assert any(k[1].endswith("_verb") for k in pure)  # expansion fired
+
+
+def test_dict_normalizer_counts_every_form():
+    """LemmaFinderImpl.java:40-44 semantics: a surface token contributes
+    one count to EVERY of its normal forms, and phrase positions hold all
+    forms at ONE slot."""
+    from collections import Counter as C
+
+    from searchengine_spark.analyzer import analyze_positions
+
+    table = {"leaves": ("leaf", "leave"), "left": ("leave",)}
+    text = "leaves left leaves behind"
+    got = C(analyze(text, normalizer="dict", forms=table))
+    assert got == C({"leaf": 2, "leave": 3, "behind": 1})
+    stream = analyze_positions(text, normalizer="dict", forms=table)
+    assert stream == [("leaf", "leave"), ("leave",), ("leaf", "leave"),
+                      ("behind",)]
+
+
+def test_dict_normalizer_requires_forms():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        analyze("whatever", normalizer="dict")
