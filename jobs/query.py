@@ -65,13 +65,36 @@ def main() -> None:
     if (args.query is None) == (args.batch is None):
         ap.error("exactly one of --query / --batch is required")
     # reject silently-unsupported combinations instead of dropping flags
-    if args.batch is not None and args.phrase:
-        ap.error("--batch does not support --phrase")
     if args.phrase and (args.site or args.offset or args.conjunctive):
         ap.error("--phrase does not support --site/--offset/--conjunctive "
-                 "(and ignores --mode: candidates are a plain AND)")
+                 "(and ignores --mode)")
 
     spark = get_spark("query", cores=args.cores)
+
+    if args.batch is not None and args.phrase:
+        # whole phrase workload in ONE job over the positional sidecar
+        from searchengine_spark.index.positions import (
+            has_positions,
+            phrase_topk_batch,
+        )
+
+        if not has_positions(args.index):
+            ap.error("--batch --phrase needs the positional sidecar "
+                     "(jobs/build_index.py --positions)")
+        lines = [ln.strip() for ln in Path(args.batch).read_text().splitlines()]
+        workload = {f"q{i}": q for i, q in enumerate(ln for ln in lines if ln)}
+        t0 = time.perf_counter()
+        rows = phrase_topk_batch(spark, args.index, workload, args.k).collect()
+        by_q: dict[str, list] = {qid: [] for qid in workload}
+        for r in rows:
+            by_q[r["qid"]].append((r["doc_id"], r["phrase_tf"]))
+        dt = (time.perf_counter() - t0) * 1000
+        print(json.dumps({"n_phrases": len(workload),
+                          "latency_ms_total": round(dt, 1)}))
+        for qid, q in workload.items():
+            print(json.dumps({"phrase": q, "hits": [
+                {"doc_id": d, "phrase_tf": t} for d, t in by_q[qid]]}))
+        return
 
     if args.batch is not None:
         from searchengine_spark.index.wand import bm25_topk_batch

@@ -362,6 +362,97 @@ def read_positions(spark: SparkSession, index_dir: str,
     return df
 
 
+def phrase_topk_batch(spark: SparkSession, index_dir: str,
+                      phrases: dict[str, str], k: int = 10) -> DataFrame:
+    """Score a whole PHRASE workload in one Spark job: (qid, doc_id,
+    phrase_tf) — the positional twin of wand.bm25_topk_batch.  ONE
+    bucket-pruned sidecar scan covers the union of all patterns' forms;
+    inside each segment every form is decoded ONCE and shared across all
+    phrases using it; the per-qid top-k merge is one tiny window-ranked
+    shuffle.  Row-identical per qid to :func:`phrase_topk_positions`
+    (parity-tested)."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    out_schema = "qid string, doc_id long, phrase_tf long"
+    empty = spark.createDataFrame([], out_schema)
+    qpat = {qid: [frozenset(p) for p in analyze_positions(ph)]
+            for qid, ph in phrases.items()}
+    qpat = {qid: p for qid, p in qpat.items() if p}
+    if not qpat:
+        return empty
+    all_forms = sorted({f for p in qpat.values() for fs in p for f in fs})
+    with open(f"{index_dir}/meta.json") as fh:
+        seg_size = int(json.load(fh)["seg_size"])
+
+    pdf_src = read_positions(spark, index_dir, all_forms)
+
+    def _seg(pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = int(pdf["segment"].iloc[0])
+        base = seg * seg_size
+        decoded: dict[str, tuple] = {}
+        max_pos = 0
+        for r in pdf.itertuples():
+            docs, counts, flat = decode_term_positions(
+                r.pdocs, r.pcounts, r.pstream)
+            if flat.size:
+                max_pos = max(max_pos, int(flat.max()))
+            decoded[r.lemma] = (np.repeat(docs - base, counts), flat)
+        K = max_pos + 2
+        out_q: list[str] = []
+        out_d: list[int] = []
+        out_t: list[int] = []
+        for qid, pattern in qpat.items():
+            acc = _intersect_slots(pattern, decoded, K)
+            if acc is None or acc.size == 0:
+                continue
+            ids, tf = np.unique(base + acc // K, return_counts=True)
+            order = np.lexsort((ids, -tf))[:k]  # segment-local pre-cut
+            out_q.extend([qid] * order.size)
+            out_d.extend(ids[order].tolist())
+            out_t.extend(tf[order].tolist())
+        return pd.DataFrame({"qid": out_q, "doc_id": out_d,
+                             "phrase_tf": out_t})
+
+    local = pdf_src.groupBy("segment").applyInPandas(_seg, schema=out_schema)
+    w = Window.partitionBy("qid").orderBy(F.desc("phrase_tf"),
+                                          F.asc("doc_id"))
+    return (
+        local.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+        .orderBy("qid", F.desc("phrase_tf"), F.asc("doc_id"))
+    )
+
+
+def _intersect_slots(pattern: list[frozenset], decoded: dict[str, tuple],
+                     K: int) -> np.ndarray | None:
+    """Shared slot-intersection core: ``decoded`` maps lemma ->
+    (local_doc-per-occurrence, flat positions).  Returns the surviving
+    start keys (local_doc * K + start_pos), or None when some slot has no
+    form in this segment."""
+    slot_keys: list[np.ndarray | None] = []
+    for j, fs in enumerate(pattern):
+        parts = []
+        for f in fs:
+            if f not in decoded:
+                continue
+            local, flat = decoded[f]
+            ok = flat >= j  # a start at pos-j must be >= 0
+            parts.append(local[ok] * K + (flat[ok] - j))
+        if not parts:
+            return None
+        slot_keys.append(np.unique(np.concatenate(parts)))
+    acc: np.ndarray | None = None
+    for keys in sorted(slot_keys, key=lambda a: a.size):  # rarest first
+        acc = keys if acc is None else np.intersect1d(
+            acc, keys, assume_unique=True)
+        if acc.size == 0:
+            return acc
+    return acc
+
+
 def phrase_topk_positions(spark: SparkSession, index_dir: str, phrase: str,
                           k: int = 10) -> DataFrame:
     """Top-k (doc_id, phrase_tf) from the positional sidecar alone — exact,
@@ -377,11 +468,6 @@ def phrase_topk_positions(spark: SparkSession, index_dir: str, phrase: str,
     if not qforms:
         return empty
     all_forms = sorted({f for fs in qforms for f in fs})
-    positions_of: dict[str, list[int]] = {}
-    for j, fs in enumerate(qforms):
-        for f in fs:
-            positions_of.setdefault(f, []).append(j)
-    n_pos = len(qforms)
     with open(f"{index_dir}/meta.json") as fh:
         seg_size = int(json.load(fh)["seg_size"])
 
@@ -392,37 +478,19 @@ def phrase_topk_positions(spark: SparkSession, index_dir: str, phrase: str,
                            "phrase_tf": pd.Series([], dtype="int64")})
         seg = int(pdf["segment"].iloc[0])
         base = seg * seg_size
-        # decode every form once; collect per-SLOT (local_doc, pos) keys
-        by_slot: dict[int, list[np.ndarray]] = {}
+        decoded: dict[str, tuple] = {}
         max_pos = 0
-        decoded = []
         for r in pdf.itertuples():
             docs, counts, flat = decode_term_positions(
                 r.pdocs, r.pcounts, r.pstream)
             if flat.size:
                 max_pos = max(max_pos, int(flat.max()))
-            decoded.append((r.lemma, docs, counts, flat))
+            decoded[r.lemma] = (np.repeat(docs - base, counts), flat)
         K = max_pos + 2
-        for lemma, docs, counts, flat in decoded:
-            local = np.repeat(docs - base, counts)
-            for j in positions_of[lemma]:
-                ok = flat >= j  # a start at pos-j must be >= 0
-                by_slot.setdefault(j, []).append(
-                    local[ok] * K + (flat[ok] - j))
-        if len(by_slot) < n_pos:
-            return e_  # some slot has no form in this segment
-        acc: np.ndarray | None = None
-        # rarest slot first: the intersection can only shrink
-        order = sorted(range(n_pos),
-                       key=lambda j: sum(a.size for a in by_slot[j]))
-        for j in order:
-            keys = np.unique(np.concatenate(by_slot[j]))
-            acc = keys if acc is None else np.intersect1d(
-                acc, keys, assume_unique=True)
-            if acc.size == 0:
-                return e_
-        start_docs = base + acc // K
-        ids, tf = np.unique(start_docs, return_counts=True)
+        acc = _intersect_slots(qforms, decoded, K)
+        if acc is None or acc.size == 0:
+            return e_
+        ids, tf = np.unique(base + acc // K, return_counts=True)
         return pd.DataFrame({"doc_id": ids, "phrase_tf": tf})
 
     local = pdf_src.groupBy("segment").applyInPandas(_seg, schema=out_schema)

@@ -190,3 +190,20 @@ def test_rebuild_refreshes_positions_and_stays_exact(spark, env, tmp_path):
            phrase_topk(spark, idx, None, "zzfresh_alpha zzfresh_beta",
                        k=10).collect()]
     assert got == [(5, 1)]
+
+
+def test_phrase_batch_matches_single_path(spark, env):
+    """phrase_topk_batch must return, per qid, exactly the single-phrase
+    positional path's rows — including the empty cases — while scanning the
+    sidecar once for the whole workload."""
+    from searchengine_spark.index.positions import phrase_topk_batch
+
+    _, idx = env
+    workload = {f"q{i}": ph for i, ph in enumerate(PHRASES)}
+    got: dict[str, list] = {}
+    for r in phrase_topk_batch(spark, idx, workload, k=10).collect():
+        got.setdefault(r["qid"], []).append((r["doc_id"], r["phrase_tf"]))
+    for qid, ph in workload.items():
+        want = [(r["doc_id"], r["phrase_tf"]) for r in
+                phrase_topk_positions(spark, idx, ph, k=10).collect()]
+        assert got.get(qid, []) == want, (qid, ph)
