@@ -30,12 +30,16 @@ def run_compact(spark, store_dir: str, index_dir: str) -> dict:
     """Compact ``store_dir`` to dense doc_ids and fully rebuild
     ``index_dir`` over it (codec params pinned from the old meta; segment
     count re-derived from the compacted corpus at the pinned seg_size)."""
+    import glob as _glob
+
     from searchengine_spark.index.builder import build_index
     from searchengine_spark.streaming import store as dstore
 
     with open(f"{index_dir}/meta.json") as fh:
         imeta = json.load(fh)
     seg_size = int(imeta["seg_size"])
+    had_positions = bool(imeta.get("has_positions")) or bool(
+        _glob.glob(f"{index_dir}/positions/segment=*"))
 
     smeta = dstore.compact_store(spark, store_dir)
 
@@ -50,6 +54,13 @@ def run_compact(spark, store_dir: str, index_dir: str) -> dict:
         salt=int(imeta["salt"]), n_buckets=int(imeta["n_buckets"]),
         block_size=int(imeta["block_size"]), resume=False,
     )
+    if had_positions:
+        # the rebuild cleared has_positions; an index that served phrases
+        # before compaction keeps doing so after (full refresh — every
+        # doc_id moved)
+        from searchengine_spark.index.positions import build_positions
+
+        build_positions(docs, index_dir)
     return {
         "mode": "compact", "store": smeta,
         "index": {k: meta[k] for k in ("n_docs", "n_segments", "seg_size")},

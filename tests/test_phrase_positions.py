@@ -207,3 +207,43 @@ def test_phrase_batch_matches_single_path(spark, env):
         want = [(r["doc_id"], r["phrase_tf"]) for r in
                 phrase_topk_positions(spark, idx, ph, k=10).collect()]
         assert got.get(qid, []) == want, (qid, ph)
+
+
+def test_compact_job_refreshes_positions(spark, tmp_path):
+    """jobs/compact.py re-ranks every doc_id; an index that served phrases
+    before compaction must keep doing so after — full sidecar refresh, and
+    results match a brute-force re-oracle over the compacted store."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "jobs"))
+    from compact import run_compact
+
+    from searchengine_spark.streaming.store import delete_keys
+
+    rows = gen_corpus_local(120)
+    store = str(tmp_path / "store")
+    init_store(spark.createDataFrame(rows, DOCS_SCHEMA), store)
+    idx = str(tmp_path / "idx")
+    docs = read_store(spark, store)
+    build_index(docs, idx, n_segments=3, salt=4, n_buckets=4, resume=False)
+    build_positions(docs, idx)
+
+    # delete a few keys -> holes -> compact re-ranks densely
+    victims = [(r[0], r[1]) for r in rows[10:20]]
+    delete_keys(spark.createDataFrame(victims, "repo string, path string"),
+                store)
+    run_compact(spark, store, idx)
+    assert has_positions(idx)
+
+    phrase = "kw_pair_alpha kw_pair_beta"
+    qforms = [frozenset(p) for p in analyze_positions(phrase)]
+    want = []
+    for r in read_store(spark, store).select("doc_id", "content").collect():
+        tf = count_phrase(analyze_positions(r["content"]), qforms)
+        if tf > 0:
+            want.append((r["doc_id"], tf))
+    want.sort(key=lambda t: (-t[1], t[0]))
+    got = [(r["doc_id"], r["phrase_tf"]) for r in
+           phrase_topk(spark, idx, None, phrase, k=100).collect()]
+    assert got == want and got
