@@ -391,6 +391,106 @@ GROUP BY t1.doc_id ORDER BY phrase_tf DESC, t1.doc_id LIMIT 20
 """
 
 
+def q_phrase_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch phrase workload twin (positions.phrase_topk_batch's logical
+    shape): two phrases share ONE positional token scan, per-qid top-20 via
+    a window rank — the offline many-phrases-one-scan serving shape."""
+    from pyspark.sql import Window
+
+    docs = _load(spark, sf_dir, "documents")
+    w1, w2 = SEARCH_TERMS
+    pos = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token")
+    )
+
+    def adj(a: str, b: str, qid: str) -> DataFrame:
+        t1 = pos.filter(F.col("token") == a).select("doc_id", "pos")
+        t2 = pos.filter(F.col("token") == b).select(
+            "doc_id", (F.col("pos") - 1).alias("pos"))
+        return (
+            t1.join(t2, ["doc_id", "pos"])
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("phrase_tf"))
+            .withColumn("qid", F.lit(qid))
+        )
+
+    un = adj(w1, w2, "q0").unionByName(adj(w2, w1, "q1"))
+    w = Window.partitionBy("qid").orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+    return (
+        un.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 20)
+        .select("qid", "doc_id", "phrase_tf")
+        .orderBy("qid", F.desc("phrase_tf"), F.asc("doc_id"))
+    )
+
+
+SQL_PHRASE_BATCH = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+pos AS (
+  SELECT doc_id, unnest(l) AS token, generate_subscripts(l, 1) AS pos FROM tok
+),
+p0 AS (
+  SELECT 'q0' AS qid, t1.doc_id AS doc_id, count(*)::BIGINT AS phrase_tf
+  FROM pos t1 JOIN pos t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  WHERE t1.token = '{SEARCH_TERMS[0]}' AND t2.token = '{SEARCH_TERMS[1]}'
+  GROUP BY t1.doc_id ORDER BY phrase_tf DESC, t1.doc_id LIMIT 20
+),
+p1 AS (
+  SELECT 'q1' AS qid, t1.doc_id AS doc_id, count(*)::BIGINT AS phrase_tf
+  FROM pos t1 JOIN pos t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  WHERE t1.token = '{SEARCH_TERMS[1]}' AND t2.token = '{SEARCH_TERMS[0]}'
+  GROUP BY t1.doc_id ORDER BY phrase_tf DESC, t1.doc_id LIMIT 20
+)
+SELECT * FROM p0 UNION ALL SELECT * FROM p1
+ORDER BY qid, phrase_tf DESC, doc_id
+"""
+
+
+# dictionary morphology (C4 at dictionary scale): surface token -> ALL
+# normal forms, EVERY form counted (LemmaFinderImpl.java:40-44).  The gate
+# twin uses a pinned 3-entry probe dictionary over the documents tokens;
+# the engine side is the same broadcast-join + explode the analyzer's
+# normalizer='dict' slot compiles to.
+GATE_DICT_FORMS: dict[str, tuple[str, ...]] = {
+    "spark": ("spark", "sparkle"),
+    "table": ("table", "tabling"),
+    "merge": ("merge",),
+}
+
+
+def q_dict_morphology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token").isin(list(GATE_DICT_FORMS)))
+    exc = spark.createDataFrame(
+        [(k, list(v)) for k, v in GATE_DICT_FORMS.items()],
+        "token string, forms array<string>",
+    )
+    return (
+        toks.join(F.broadcast(exc), "token")
+        .select("doc_id", F.explode("forms").alias("lemma"))
+        .groupBy("doc_id", "lemma")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("doc_id", "lemma")
+    )
+
+
+SQL_DICT_MORPHOLOGY = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+x AS (
+  SELECT doc_id, unnest(CASE token
+           WHEN 'spark' THEN ['spark', 'sparkle']
+           WHEN 'table' THEN ['table', 'tabling']
+           WHEN 'merge' THEN ['merge'] END) AS lemma
+  FROM tok WHERE token IN ('spark', 'table', 'merge')
+)
+SELECT doc_id, lemma, count(*)::BIGINT AS n
+FROM x GROUP BY doc_id, lemma ORDER BY doc_id, lemma
+"""
+
+
 # --- site-scoped search page: the FULL reference API shape ------------------
 # GET /api/search?query&site&offset&limit (ApiController.java:30-45): the
 # reference scopes EVERYTHING to the site when one is given — its lemma
@@ -1341,6 +1441,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_bm25": q_search_bm25,
     "search_bm25_any": q_search_bm25_any,
     "phrase_search": q_phrase_search,
+    "phrase_batch": q_phrase_batch,
+    "dict_morphology": q_dict_morphology,
     "search_site_page": q_search_site_page,
     "proximity_pair": q_proximity_pair,
     "snippet": q_snippet,
@@ -1392,6 +1494,8 @@ ORACLE: dict[str, str] = {
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "ann_cosine_topk": SQL_ANN_COSINE,
     "text_quality": SQL_TEXT_QUALITY,
+    "phrase_batch": SQL_PHRASE_BATCH,
+    "dict_morphology": SQL_DICT_MORPHOLOGY,
     "token_count": SQL_TOKEN_COUNT,
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,
