@@ -65,9 +65,11 @@ def main() -> None:
     if (args.query is None) == (args.batch is None):
         ap.error("exactly one of --query / --batch is required")
     # reject silently-unsupported combinations instead of dropping flags
-    if args.phrase and (args.site or args.offset or args.conjunctive):
-        ap.error("--phrase does not support --site/--offset/--conjunctive "
+    if args.phrase and (args.offset or args.conjunctive):
+        ap.error("--phrase does not support --offset/--conjunctive "
                  "(and ignores --mode)")
+    if args.phrase and args.batch is not None and args.site:
+        ap.error("--batch --phrase does not support --site")
 
     spark = get_spark("query", cores=args.cores)
 
@@ -168,7 +170,7 @@ def main() -> None:
         for q in args.query:
             t0 = time.perf_counter()
             rows = phrase_topk(spark, args.index, args.store, q,
-                               args.k).collect()
+                               args.k, site=args.site).collect()
             dt = (time.perf_counter() - t0) * 1000
             print(json.dumps({
                 "phrase": q, "latency_ms": round(dt, 1),

@@ -55,7 +55,8 @@ def count_phrase(stream: list[tuple[str, ...]], qforms: list[frozenset]) -> int:
 def phrase_topk(spark: SparkSession, index_dir: str, store_dir: str | None,
                 phrase: str, k: int = 10,
                 collect_threshold: int = 10_000,
-                impl: str = "auto") -> DataFrame:
+                impl: str = "auto",
+                site: str | None = None) -> DataFrame:
     """Top-k (doc_id, phrase_tf) docs containing the exact phrase.
 
     The query pattern is ``analyze_positions(phrase)`` — the SAME pipeline
@@ -82,7 +83,7 @@ def phrase_topk(spark: SparkSession, index_dir: str, store_dir: str | None,
     from .wand import TermPostings
 
     if impl == "positions" or (impl == "auto" and has_positions(index_dir)):
-        return phrase_topk_positions(spark, index_dir, phrase, k)
+        return phrase_topk_positions(spark, index_dir, phrase, k, site=site)
     if store_dir is None:
         raise ValueError("store-verify phrase path needs store_dir "
                          "(or build the positional sidecar)")
@@ -119,6 +120,19 @@ def phrase_topk(spark: SparkSession, index_dir: str, store_dir: str | None,
         return pd.DataFrame({"doc_id": ids})
 
     cands = idx.groupBy("segment").applyInPandas(_cand, schema="doc_id long")
+    if site is not None:
+        # the reference's site= scope as doc_id intervals (same sidecar BM25
+        # serving uses); candidates outside them can't be site hits
+        from .builder import read_site_ranges
+
+        iv = read_site_ranges(spark, index_dir, site)
+        if not iv:
+            return empty  # unknown site owns no pages
+        cond = None
+        for lo, hi in iv:
+            c = (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
+            cond = c if cond is None else (cond | c)
+        cands = cands.filter(cond)
 
     def _verify(batches):
         for pdf in batches:

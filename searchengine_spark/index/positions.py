@@ -454,11 +454,17 @@ def _intersect_slots(pattern: list[frozenset], decoded: dict[str, tuple],
 
 
 def phrase_topk_positions(spark: SparkSession, index_dir: str, phrase: str,
-                          k: int = 10) -> DataFrame:
+                          k: int = 10,
+                          site: str | None = None) -> DataFrame:
     """Top-k (doc_id, phrase_tf) from the positional sidecar alone — exact,
     store-free, O(query-term postings) even for a phrase of two common
     words.  Row-identical to index/phrase.py's store-verify path (same
-    ``analyze_positions`` pattern contract on both sides; parity-tested)."""
+    ``analyze_positions`` pattern contract on both sides; parity-tested).
+
+    ``site`` scopes the search to one repo exactly like BM25 serving: the
+    builder's sites sidecar resolves to doc_id intervals, the sidecar scan
+    is partition-pruned to overlapping segments, and matched docs are
+    interval-masked after the slot intersection."""
     import pandas as pd
     from pyspark.sql import functions as F
 
@@ -471,7 +477,20 @@ def phrase_topk_positions(spark: SparkSession, index_dir: str, phrase: str,
     with open(f"{index_dir}/meta.json") as fh:
         seg_size = int(json.load(fh)["seg_size"])
 
+    intervals = None
+    if site is not None:
+        from .builder import read_site_ranges
+
+        intervals = read_site_ranges(spark, index_dir, site)
+        if not intervals:
+            return empty  # unknown site owns no pages
+
     pdf_src = read_positions(spark, index_dir, all_forms)
+    if intervals:
+        from .wand import _overlapping_segments
+
+        segs = sorted(_overlapping_segments(intervals, seg_size))
+        pdf_src = pdf_src.filter(F.col("segment").isin(segs))
 
     def _seg(pdf: pd.DataFrame) -> pd.DataFrame:
         e_ = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
@@ -491,6 +510,11 @@ def phrase_topk_positions(spark: SparkSession, index_dir: str, phrase: str,
         if acc is None or acc.size == 0:
             return e_
         ids, tf = np.unique(base + acc // K, return_counts=True)
+        if intervals is not None:
+            from .wand import _mask_ids
+
+            keep = np.isin(ids, _mask_ids(ids, intervals))
+            ids, tf = ids[keep], tf[keep]
         return pd.DataFrame({"doc_id": ids, "phrase_tf": tf})
 
     local = pdf_src.groupBy("segment").applyInPandas(_seg, schema=out_schema)

@@ -247,3 +247,32 @@ def test_compact_job_refreshes_positions(spark, tmp_path):
     got = [(r["doc_id"], r["phrase_tf"]) for r in
            phrase_topk(spark, idx, None, phrase, k=100).collect()]
     assert got == want and got
+
+
+def test_phrase_site_scope_both_paths(spark, env):
+    """site= scopes phrase search to one repo's doc_id intervals on BOTH
+    serving paths, matching a brute-force oracle restricted to that repo;
+    an unknown site yields no rows."""
+    store, idx = env
+    phrase, site = "tamok velsor", "org0/proj0"
+    qforms = [frozenset(p) for p in analyze_positions(phrase)]
+    want = []
+    for r in (read_store(spark, store)
+              .select("repo", "doc_id", "content").collect()):
+        if r["repo"] != site:
+            continue
+        tf = count_phrase(analyze_positions(r["content"]), qforms)
+        if tf > 0:
+            want.append((r["doc_id"], tf))
+    want.sort(key=lambda t: (-t[1], t[0]))
+    got_pos = [(r["doc_id"], r["phrase_tf"]) for r in
+               phrase_topk(spark, idx, None, phrase, k=100,
+                           site=site).collect()]
+    got_store = [(r["doc_id"], r["phrase_tf"]) for r in
+                 phrase_topk(spark, idx, store, phrase, k=100,
+                             impl="store", site=site).collect()]
+    assert got_pos == want
+    assert got_store == want
+    assert phrase_topk(spark, idx, None, phrase, site="org9/nope").count() == 0
+    assert phrase_topk(spark, idx, store, phrase, impl="store",
+                       site="org9/nope").count() == 0
