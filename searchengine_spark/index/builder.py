@@ -536,17 +536,23 @@ def build_index(
     from .checkpoint import all_manifests
 
     tot_b = tot_p = 0
+    complete = True  # every done manifest contributed byte stats?
     for m in all_manifests(out_dir):
         if "posting_bytes" in m:
             tot_b += int(m["posting_bytes"])
             tot_p += int(m["posting_count"])
+        else:
+            complete = False  # pre-r4 manifest: its bytes are unknown
     if tot_p:
+        # the RATIO is a sound estimate even from a subset of segments...
         meta["bytes_per_posting"] = round(tot_b / tot_p, 3)
-        # whole-index posting bytes: when this fits under a broker's local
-        # threshold NO term can exceed it, so the serving estimate (one
-        # pruned dict job per cold term) is skipped entirely — small
-        # indexes keep the one-collect cold path
-        meta["posting_bytes"] = int(tot_b)
+        # ...but the whole-index byte TOTAL (QueryEngine's skip-the-guard
+        # short-circuit: index <= threshold => no term can exceed it) is
+        # only sound when EVERY manifest contributed — an undercounted
+        # total on a mixed-generation index would reopen the
+        # fetch-before-guard hole for exactly the big indexes it protects.
+        if complete:
+            meta["posting_bytes"] = int(tot_b)
         with open(f"{out_dir}/meta.json", "w") as fh:
             json.dump(meta, fh, indent=1)
     timings["manifests_s"] = round(_time.perf_counter() - _t, 2)

@@ -375,6 +375,10 @@ def phrase_topk_batch(spark: SparkSession, index_dir: str,
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    if not has_positions(index_dir):
+        raise ValueError(
+            "positional sidecar missing or stale (a rebuild clears "
+            "meta.has_positions) — run build_positions first")
     out_schema = "qid string, doc_id long, phrase_tf long"
     empty = spark.createDataFrame([], out_schema)
     qpat = {qid: [frozenset(p) for p in analyze_positions(ph)]
@@ -468,6 +472,11 @@ def phrase_topk_positions(spark: SparkSession, index_dir: str, phrase: str,
     import pandas as pd
     from pyspark.sql import functions as F
 
+    if not has_positions(index_dir):
+        raise ValueError(
+            "positional sidecar missing or stale (a rebuild clears "
+            "meta.has_positions) — run build_positions first, or use the "
+            "store-verify path")
     out_schema = "doc_id long, phrase_tf long"
     empty = spark.createDataFrame([], out_schema)
     qforms = [frozenset(p) for p in analyze_positions(phrase)]

@@ -644,6 +644,8 @@ class QueryEngine:
         dictionary, where no estimate is possible).  Exactness is
         identical: same segment_topk code."""
         self._check_fresh()
+        if offset < 0:
+            raise ValueError("offset must be >= 0")
         qlemmas = sorted(set(analyze(query)))
         if not qlemmas:
             return []
@@ -765,6 +767,8 @@ def bm25_topk_batch(spark: SparkSession, index_dir: str,
     empty = spark.createDataFrame([], out_schema)
 
     sites = sites or {}
+    if any(int(v) < 0 for v in (offsets or {}).values()):
+        raise ValueError("offsets must be >= 0")
     offsets = {qid: int(v) for qid, v in (offsets or {}).items() if v}
     iv_cache: dict[str, list[tuple[int, int]]] = dict(site_intervals or {})
     qiv: dict[str, list[tuple[int, int]] | None] = {}
@@ -885,6 +889,8 @@ def bm25_topk(spark: SparkSession, index_dir: str, query: str, k: int = 10,
 
     from .builder import read_index, read_site_ranges
 
+    if offset < 0:
+        raise ValueError("offset must be >= 0")
     with open(f"{index_dir}/meta.json") as fh:
         meta = json.load(fh)
     qlemmas = sorted(set(analyze(query)))

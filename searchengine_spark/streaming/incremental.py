@@ -111,14 +111,17 @@ def rebuild_segments(docs_ingested: DataFrame, index_dir: str,
     avgdl; a full rebuild refreshes it).  Every incremental path — doc-id
     upserts, streaming micro-batches, store deletes — funnels through
     here so the rebuild contract lives in one place."""
-    import glob as _glob
-
     from ..index.builder import build_index
 
     with open(f"{index_dir}/meta.json") as fh:
         meta = json.load(fh)
-    had_positions = bool(meta.get("has_positions")) or bool(
-        _glob.glob(f"{index_dir}/positions/segment=*"))
+    # ONLY the meta flag is a sound re-enable signal: leftover positions/
+    # dirs with the flag cleared mean a previous rebuild disabled the
+    # sidecar (possibly with some segments' positions already deleted) —
+    # refreshing just THIS call's segments would re-enable an incomplete
+    # sidecar and silently drop phrase hits from the gap segments.  A
+    # full build_positions() is the recovery path for that state.
+    had_positions = bool(meta.get("has_positions"))
     for s in segs:
         p = pathlib.Path(f"{index_dir}/manifests/segment={s}.json")
         if p.exists():

@@ -276,3 +276,42 @@ def test_phrase_site_scope_both_paths(spark, env):
     assert phrase_topk(spark, idx, None, phrase, site="org9/nope").count() == 0
     assert phrase_topk(spark, idx, store, phrase, impl="store",
                        site="org9/nope").count() == 0
+
+
+def test_rebuild_never_reenables_incomplete_sidecar(spark, tmp_path):
+    """Review fix: leftover positions/ dirs with the meta flag CLEARED mean
+    a previous rebuild disabled the sidecar (possibly with gaps) —
+    rebuild_segments must NOT re-enable it from this call's segments alone,
+    and the positional API must refuse to serve it."""
+    import json as _json
+
+    from searchengine_spark.corpus import ingest
+    from searchengine_spark.index.positions import phrase_topk_batch
+    from searchengine_spark.streaming.incremental import rebuild_segments
+
+    rows = gen_corpus_local(120)
+    docs = ingest(spark.createDataFrame(rows, DOCS_SCHEMA))
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx, n_segments=3, salt=4, n_buckets=4, resume=False)
+    build_positions(docs, idx)
+    # simulate the disabled-with-gaps state: flag cleared, one segment's
+    # positions deleted (as a flagless build_index rebuild would leave it)
+    import shutil
+
+    with open(f"{idx}/meta.json") as fh:
+        meta = _json.load(fh)
+    meta.pop("has_positions", None)
+    with open(f"{idx}/meta.json", "w") as fh:
+        _json.dump(meta, fh)
+    shutil.rmtree(f"{idx}/positions/segment=1")
+    assert not has_positions(idx)
+
+    rebuild_segments(docs, idx, [0])
+    assert not has_positions(idx)  # must stay disabled (gap at segment 1)
+    with pytest.raises(ValueError):
+        phrase_topk_positions(spark, idx, "tamok velsor")
+    with pytest.raises(ValueError):
+        phrase_topk_batch(spark, idx, {"q": "tamok velsor"})
+    # full refresh is the recovery path
+    build_positions(docs, idx)
+    assert has_positions(idx)

@@ -122,3 +122,51 @@ def test_gdf_cache_avoids_repeat_dict_jobs(spark, idx):
     finally:
         wand.gdf_lookup = orig
     assert hits == _hits_distributed(spark, idx, QUERY, 5)
+
+
+def test_mixed_generation_manifests_disable_bytes_shortcut(spark, tmp_path):
+    """Review fix: meta.posting_bytes (the skip-the-guard short-circuit) is
+    only written when EVERY done manifest contributed byte stats — a
+    pre-r4 manifest without them must disable the short-circuit, keeping
+    the dict-estimate guard active (else a mixed-generation big index
+    would collect oversized postings before any check)."""
+    import json
+
+    from searchengine_spark.index.checkpoint import read_manifest, write_manifest
+    from searchengine_spark.streaming.incremental import rebuild_segments
+
+    out = str(tmp_path / "idx")
+    docs = ingest(spark.createDataFrame(gen_corpus_local(60), DOCS_SCHEMA))
+    build_index(docs, out, n_segments=2, salt=4, n_buckets=4, resume=False)
+    # simulate a pre-r4 manifest on segment 0
+    m = read_manifest(out, 0)
+    del m["posting_bytes"]
+    write_manifest(out, 0, m)
+    # rebuild segment 1: its manifest regains bytes, segment 0's stays old
+    rebuild_segments(docs, out, [1])
+    with open(f"{out}/meta.json") as fh:
+        meta = json.load(fh)
+    assert "bytes_per_posting" in meta      # ratio: sound from a subset
+    assert "posting_bytes" not in meta      # total: NOT sound -> absent
+    # the engine then has no short-circuit: the estimate guard fires and a
+    # tiny threshold routes distributed WITHOUT fetching
+    eng = QueryEngine(spark, out)
+    assert eng._index_bytes is None
+    eng._fetch_terms = lambda *a, **kw: (_ for _ in ()).throw(
+        AssertionError("fetched despite over-threshold estimate"))
+    hits = eng.topk_rows(QUERY, 5, local_threshold_bytes=1)
+    assert hits == _hits_distributed(spark, out, QUERY, 5)
+
+
+def test_negative_offsets_rejected(spark, idx):
+    """Review fix: negative offsets raise on every path instead of
+    silently diverging between batch and single serving."""
+    from searchengine_spark.index.wand import bm25_topk_batch
+
+    eng = QueryEngine(spark, idx)
+    with pytest.raises(ValueError):
+        eng.topk_rows(QUERY, 5, offset=-1)
+    with pytest.raises(ValueError):
+        bm25_topk(spark, idx, QUERY, 5, offset=-1)
+    with pytest.raises(ValueError):
+        bm25_topk_batch(spark, idx, {"a": QUERY}, 5, offsets={"a": -2})
