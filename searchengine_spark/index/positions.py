@@ -59,7 +59,11 @@ if TYPE_CHECKING:
     from pyspark.sql import DataFrame, SparkSession
 
 POS_SCHEMA_DDL = ("segment int, lemma string, df long, pdocs binary, "
-                  "pcounts binary, pstream binary, bucket int")
+                  "pcounts binary, pstream binary, nbytes long, bucket int")
+# nbytes = len(pdocs)+len(pcounts)+len(pstream), persisted so the build's
+# per-segment stats aggregation is a column-pruned scan of two int columns
+# (never re-reading the binary streams); sidecars written before the column
+# existed read it as null and simply don't contribute stats.
 
 
 def has_positions(index_dir: str) -> bool:
@@ -270,7 +274,7 @@ def build_positions(docs_ingested: DataFrame, index_dir: str,
         import pandas as pd
 
         cols = ["segment", "lemma", "df", "pdocs", "pcounts", "pstream",
-                "bucket"]
+                "nbytes", "bucket"]
         if pdf.empty:
             return pd.DataFrame([], columns=cols)
         seg = int(pdf["segment"].iloc[0])
@@ -309,14 +313,17 @@ def build_positions(docs_ingested: DataFrame, index_dir: str,
             s, e = int(doc_off[t]), int(doc_off[t + 1])
             ps = int(pos_off[s]) if s < e else 0
             pe = (int(pos_off[e - 1] + counts[e - 1]) if s < e else 0)
+            b_docs = varbyte_encode(dgaps[s:e]).tobytes()
+            b_counts = varbyte_encode(counts[s:e].astype(np.uint64)).tobytes()
+            b_stream = varbyte_encode(pgaps[ps:pe]).tobytes()
             out.append({
                 "segment": seg,
                 "lemma": lemmas[t],
                 "df": int(e - s),
-                "pdocs": varbyte_encode(dgaps[s:e]).tobytes(),
-                "pcounts": varbyte_encode(
-                    counts[s:e].astype(np.uint64)).tobytes(),
-                "pstream": varbyte_encode(pgaps[ps:pe]).tobytes(),
+                "pdocs": b_docs,
+                "pcounts": b_counts,
+                "pstream": b_stream,
+                "nbytes": len(b_docs) + len(b_counts) + len(b_stream),
                 "bucket": bucket,
             })
         return pd.DataFrame(out, columns=cols)
@@ -333,9 +340,55 @@ def build_positions(docs_ingested: DataFrame, index_dir: str,
         .partitionBy("segment", "bucket")
         .parquet(f"{index_dir}/positions")
     )
+    # per-segment positional stats ride the INDEX manifests (same lifecycle:
+    # a data rebuild rewrites its segments' manifests without pos keys, and
+    # this refresh re-adds them) so the serving broker can estimate a form's
+    # positional bytes from its dictionary df BEFORE any collect — the same
+    # estimate-before-fetch discipline as BM25 warm serving.  The agg scans
+    # only the TARGET segments (partition pruning) and only two int columns
+    # (column pruning; nbytes was persisted for exactly this).
+    from pyspark.sql import functions as _F
+
+    from .checkpoint import all_manifests, read_manifest, write_manifest
+
+    stats = {
+        int(r["segment"]): r
+        for r in spark.read.schema(POS_SCHEMA_DDL)
+        .parquet(f"{index_dir}/positions")
+        .filter(_F.col("segment").isin(target))
+        .groupBy("segment")
+        .agg(_F.sum("df").alias("p"), _F.sum("nbytes").alias("b"))
+        .collect()
+    }
+    for s in target:
+        m = read_manifest(index_dir, s)
+        if m is None:
+            continue
+        r = stats.get(s)
+        m["pos_posting_count"] = int(r["p"]) if r else 0
+        m["pos_posting_bytes"] = (
+            int(r["b"]) if r is not None and r["b"] is not None else 0)
+        write_manifest(index_dir, s, m)
+    tot_b = tot_p = 0
+    complete = True  # every done manifest contributed positional stats?
+    for m in all_manifests(index_dir):
+        if "pos_posting_bytes" in m:
+            tot_b += int(m["pos_posting_bytes"])
+            tot_p += int(m["pos_posting_count"])
+        else:
+            complete = False
+
     # re-read meta (build_index may have updated it) and flip the flag LAST
     with open(f"{index_dir}/meta.json") as fh:
         meta = json.load(fh)
+    if tot_p:
+        # ratio: sound from a subset; whole-sidecar total: only when every
+        # manifest contributed (same soundness rule as meta.posting_bytes)
+        meta["pos_bytes_per_posting"] = round(tot_b / tot_p, 3)
+    if complete and tot_p:
+        meta["pos_posting_bytes"] = int(tot_b)
+    else:
+        meta.pop("pos_posting_bytes", None)
     meta["has_positions"] = True
     with open(f"{index_dir}/meta.json", "w") as fh:
         json.dump(meta, fh, indent=1)

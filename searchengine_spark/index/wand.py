@@ -402,12 +402,16 @@ class QueryEngine:
 
     def __init__(self, spark: SparkSession, index_dir: str,
                  preload_dict: bool = False, term_cache_size: int = 4096,
-                 term_cache_bytes: int = 256 << 20):
+                 term_cache_bytes: int = 256 << 20,
+                 pos_cache_size: int = 4096,
+                 pos_cache_bytes: int = 256 << 20):
         self.spark = spark
         self.index_dir = index_dir
         self._preload_dict = preload_dict
         self._term_cache_size = term_cache_size
         self._term_cache_bytes = term_cache_bytes
+        self._pos_cache_size = pos_cache_size
+        self._pos_cache_bytes = pos_cache_bytes
         self._load()
 
     def _load(self) -> None:
@@ -434,6 +438,15 @@ class QueryEngine:
         self._term_cache: OrderedDict[str, list] = OrderedDict()
         self._cache_nb: dict[str, int] = {}   # lemma -> cached posting bytes
         self._cache_total = 0                 # Σ _cache_nb (LRU byte bound)
+        # warm PHRASE serving: positional postings get their own LRU (same
+        # byte discipline; estimates use the sidecar's measured
+        # pos_bytes_per_posting — a form's positional df equals its index
+        # df, so the main dictionary prices both fetches)
+        self._pos_bpp = self.meta.get("pos_bytes_per_posting")
+        self._pos_bytes: int | None = self.meta.get("pos_posting_bytes")
+        self._pos_cache: OrderedDict[str, list] = OrderedDict()
+        self._pos_nb: dict[str, int] = {}
+        self._pos_total = 0
         self._gdf_cache: dict[str, int] = {}  # lemma -> global df (tiny rows)
         self._site_cache: dict[str, list[tuple[int, int]]] = {}
         self._gdf: dict[str, int] | None = None
@@ -588,12 +601,153 @@ class QueryEngine:
             self._cache_total += nb
         self._evict(floor)
 
+    def _evict_pos(self, floor: int) -> None:
+        """Positional-cache LRU eviction (same bounds discipline as
+        :meth:`_evict`: entry count AND total compressed bytes, never below
+        the current working set)."""
+        while len(self._pos_cache) > floor and (
+            len(self._pos_cache) > self._pos_cache_size
+            or self._pos_total > self._pos_cache_bytes
+        ):
+            lemma, _ = self._pos_cache.popitem(last=False)
+            self._pos_total -= self._pos_nb.pop(lemma, 0)
+
+    def _fetch_positions(self, fetch: list[str], floor: int = 0) -> None:
+        """One bucket-pruned collect of ``fetch`` forms' positional postings;
+        cache them DECODED per (form, segment) — a repeated phrase costs
+        neither a Spark job nor a varbyte decode.  Byte accounting uses the
+        compressed stream lengths (symmetric with the term cache).  Callers
+        route over-estimate forms away BEFORE calling (phrase_rows/prefetch
+        do) — this function itself does not guard."""
+        from .positions import decode_term_positions, read_positions
+
+        seg_size = int(self.meta["seg_size"])
+        rows = read_positions(self.spark, self.index_dir, fetch).collect()
+        by_lemma: dict[str, list] = {t: [] for t in fetch}
+        for r in rows:
+            by_lemma[r["lemma"]].append(r)
+        for lemma, rs in by_lemma.items():
+            entries = []
+            for r in rs:
+                docs, counts, flat = decode_term_positions(
+                    r["pdocs"], r["pcounts"], r["pstream"])
+                base = int(r["segment"]) * seg_size
+                # per-OCCURRENCE local doc ids, aligned with flat positions —
+                # exactly the decoded shape _intersect_slots consumes
+                occ = np.repeat(docs - base, counts)
+                mx = int(flat.max()) if flat.size else 0
+                nb = len(r["pdocs"]) + len(r["pcounts"]) + len(r["pstream"])
+                entries.append((int(r["segment"]), occ, flat, mx, nb))
+            self._pos_total -= self._pos_nb.pop(lemma, 0)
+            self._pos_cache[lemma] = entries
+            nb = sum(e[4] for e in entries)
+            self._pos_nb[lemma] = nb
+            self._pos_total += nb
+        self._evict_pos(floor)
+
+    def phrase_rows(self, phrase: str, k: int = 10, site: str | None = None,
+                    local_threshold_bytes: int = 64 << 20,
+                    ) -> list[tuple[int, int]]:
+        """Warm phrase serving over the positional sidecar: (doc_id,
+        phrase_tf) pairs, row-identical to
+        :func:`positions.phrase_topk_positions` (parity-tested) — but a
+        repeated phrase (or one whose forms an earlier phrase warmed) costs
+        NO Spark job: slot postings come from the engine's positional LRU
+        and the intersection runs driver-side in numpy.
+
+        Same routing discipline as :meth:`topk_rows`: a phrase whose
+        dict-estimated positional postings exceed ``local_threshold_bytes``
+        is served by the distributed path WITHOUT collecting them (est =
+        dictionary df × the sidecar's measured bytes-per-posting; a form's
+        positional df equals its index df), with the post-fetch actual-size
+        check as the backstop for under-estimates and for sidecars built
+        before the stats existed."""
+        from ..analyzer import analyze_positions
+        from .positions import (
+            _intersect_slots,
+            has_positions,
+            phrase_topk_positions,
+        )
+
+        self._check_fresh()
+        if not has_positions(self.index_dir):
+            raise ValueError(
+                "positional sidecar missing or stale (a rebuild clears "
+                "meta.has_positions) — run build_positions first, or use "
+                "the store-verify path")
+        qpat = [frozenset(p) for p in analyze_positions(phrase)]
+        if not qpat:
+            return []
+        intervals = self._site(site)
+        if site is not None and not intervals:
+            return []  # unknown site owns no pages
+        forms = sorted({f for fs in qpat for f in fs})
+
+        def _distributed() -> list[tuple[int, int]]:
+            out = phrase_topk_positions(
+                self.spark, self.index_dir, phrase, k, site=site).collect()
+            return [(r["doc_id"], r["phrase_tf"]) for r in out]
+
+        fetch = [t for t in forms if t not in self._pos_cache]
+        for t in forms:
+            if t in self._pos_cache:
+                self._pos_cache.move_to_end(t)
+        if fetch:
+            if self._pos_bpp is not None and (
+                    self._pos_bytes is None
+                    or self._pos_bytes > local_threshold_bytes):
+                gdf = self._gdf_for(forms)
+                if gdf is not None:
+                    est = sum(
+                        self._pos_nb[t] if t in self._pos_cache
+                        else gdf.get(t, 0) * self._pos_bpp
+                        for t in forms
+                    )
+                    if est > local_threshold_bytes:
+                        return _distributed()
+            self._fetch_positions(fetch, floor=len(forms))
+        if sum(self._pos_nb.get(t, 0) for t in forms) > local_threshold_bytes:
+            return _distributed()  # under-estimate / legacy-sidecar backstop
+
+        seg_size = int(self.meta["seg_size"])
+        live = (_overlapping_segments(intervals, seg_size)
+                if intervals else None)
+        by_seg: dict[int, dict[str, tuple]] = {}
+        maxp: dict[int, int] = {}
+        for t in forms:
+            for seg, occ, flat, mx, _ in self._pos_cache.get(t, ()):
+                if live is not None and seg not in live:
+                    continue  # site intervals cannot reach this segment
+                by_seg.setdefault(seg, {})[t] = (occ, flat)
+                maxp[seg] = max(maxp.get(seg, 0), mx)
+        merged_ids: list[np.ndarray] = []
+        merged_tf: list[np.ndarray] = []
+        for seg, decoded in by_seg.items():
+            K = maxp[seg] + 2
+            acc = _intersect_slots(qpat, decoded, K)
+            if acc is None or acc.size == 0:
+                continue
+            ids, tf = np.unique(seg * seg_size + acc // K, return_counts=True)
+            if intervals is not None:
+                keep = np.isin(ids, _mask_ids(ids, intervals))
+                ids, tf = ids[keep], tf[keep]
+            merged_ids.append(ids)
+            merged_tf.append(tf)
+        if not merged_ids:
+            return []
+        ids = np.concatenate(merged_ids)
+        tf = np.concatenate(merged_tf)
+        order = np.lexsort((ids, -tf))[:k]
+        return list(zip(ids[order].tolist(), tf[order].tolist()))
+
     def prefetch(self, queries: list[str], sites: list[str] | None = None,
-                 local_threshold_bytes: int = 64 << 20) -> int:
+                 local_threshold_bytes: int = 64 << 20,
+                 phrases: list[str] | None = None) -> int:
         """Warm the term cache for a whole query suite in ONE bucket-pruned
         Spark job (round-4 backlog: cold first-query latency is one pruned
         collect per query; a broker restart re-warms its expected workload
-        in a single scan instead).  Returns the number of lemmas fetched.
+        in a single scan instead).  Returns the number of lemmas fetched
+        (term + positional forms).
 
         Honors the same byte discipline as :meth:`topk_rows`: a term whose
         dict-estimated postings exceed ``local_threshold_bytes`` is SKIPPED
@@ -601,7 +755,11 @@ class QueryEngine:
         it would only pull oversized bytes onto the broker), and the fetch
         never exceeds the engine's LRU byte budget by more than the suite's
         own (pre-checked) working set.  ``sites`` additionally warms the
-        site-interval cache so site-scoped queries skip their sidecar read."""
+        site-interval cache so site-scoped queries skip their sidecar read.
+        ``phrases`` warms the POSITIONAL cache the same way (one extra
+        pruned collect over the sidecar, per-form byte estimates from the
+        sidecar's measured bytes-per-posting) so a phrase workload's first
+        queries are as warm as its repeats."""
         self._check_fresh()
         for s in sites or ():
             self._site(s)
@@ -612,18 +770,44 @@ class QueryEngine:
                 self._term_cache.move_to_end(t)  # suite terms must survive
             else:                                # the post-fetch eviction
                 fetch.append(t)
-        if not fetch:
-            return 0
-        gdf = None
-        if (self._index_bytes is None
-                or self._index_bytes > local_threshold_bytes):
-            gdf = self._gdf_for(fetch)
-            if gdf is not None:
-                fetch = [t for t in fetch if
-                         gdf.get(t, 0) * self._bpp <= local_threshold_bytes]
+        n_fetched = 0
         if fetch:
-            self._fetch_terms(fetch, floor=len(lemmas), gdf_hint=gdf)
-        return len(fetch)
+            gdf = None
+            if (self._index_bytes is None
+                    or self._index_bytes > local_threshold_bytes):
+                gdf = self._gdf_for(fetch)
+                if gdf is not None:
+                    fetch = [t for t in fetch if gdf.get(t, 0) * self._bpp
+                             <= local_threshold_bytes]
+            if fetch:
+                self._fetch_terms(fetch, floor=len(lemmas), gdf_hint=gdf)
+            n_fetched += len(fetch)
+
+        if phrases:
+            from ..analyzer import analyze_positions
+            from .positions import has_positions
+
+            if has_positions(self.index_dir):
+                forms = sorted({f for ph in phrases
+                                for fs in analyze_positions(ph) for f in fs})
+                pfetch = []
+                for t in forms:
+                    if t in self._pos_cache:
+                        self._pos_cache.move_to_end(t)
+                    else:
+                        pfetch.append(t)
+                if pfetch and self._pos_bpp is not None and (
+                        self._pos_bytes is None
+                        or self._pos_bytes > local_threshold_bytes):
+                    gdf = self._gdf_for(pfetch)
+                    if gdf is not None:
+                        pfetch = [t for t in pfetch
+                                  if gdf.get(t, 0) * self._pos_bpp
+                                  <= local_threshold_bytes]
+                if pfetch:
+                    self._fetch_positions(pfetch, floor=len(forms))
+                n_fetched += len(pfetch)
+        return n_fetched
 
     def topk_rows(self, query: str, k: int = 10, mode: str = "auto",
                   conjunctive: bool = False,
