@@ -1014,6 +1014,44 @@ ORDER BY cos_sim DESC, a.vec_id LIMIT 10
 """
 
 
+def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-batch exact cosine top-5: the vec_id<3 embeddings as query
+    vectors, each excluding its own row — one scan, per-Arrow-batch matmul
+    + pre-cut (operators/ann.py brute_force_topk_batch).  Full value
+    check: the oracle is the plain quadratic cross join."""
+    from .operators.ann import brute_force_topk_batch
+
+    emb = _load(spark, sf_dir, "embeddings")
+    rows = emb.filter(F.col("vec_id") < 3).collect()
+    queries = {f"q{r['vec_id']}": [float(x) for x in r["embedding"]]
+               for r in rows}
+    exclude = {f"q{r['vec_id']}": int(r["vec_id"]) for r in rows}
+    return brute_force_topk_batch(emb, queries, k=5, exclude=exclude)
+
+
+SQL_ANN_BATCH = f"""
+WITH q AS (
+  SELECT 'q' || CAST(vec_id AS VARCHAR) AS qid, vec_id AS qv_id,
+         embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id < 3
+),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         round({_cos_sql('e.embedding::DOUBLE[]', 'q.qe')}, 4) AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.qv_id
+),
+r AS (
+  SELECT qid, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT qid, vec_id, cos_sim FROM r WHERE rn <= 5
+ORDER BY qid, cos_sim DESC, vec_id
+"""
+
+
 # --- text analysis ----------------------------------------------------------
 
 
@@ -1458,6 +1496,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine,
     "ann_lsh_topk": q_ann_lsh,
     "ann_ivf_topk": q_ann_ivf,
+    "ann_batch_topk": q_ann_batch,
     "text_quality": q_text_quality,
     "token_count": q_token_count,
     "lang_id": q_lang_id,
@@ -1517,6 +1556,7 @@ ORACLE: dict[str, str] = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "ann_lsh_topk": SQL_ANN_LSH,
     "ann_ivf_topk": SQL_ANN_IVF,
+    "ann_batch_topk": SQL_ANN_BATCH,
     "embed_dedup_lsh": SQL_EMBED_DEDUP_LSH,
     "events_hourly_window": SQL_EVENTS_HOURLY,
 }

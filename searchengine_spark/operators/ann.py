@@ -59,6 +59,84 @@ def brute_force_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
+def brute_force_topk_batch(emb: DataFrame, queries: dict[str, list[float]],
+                           k: int = 10, id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           exclude: dict[str, int] | None = None) -> DataFrame:
+    """Exact cosine top-k for a whole BATCH of query vectors in ONE job:
+    (qid, vec_id, cos_sim), the embedding twin of ``wand.bm25_topk_batch``
+    (offline eval suites / dedup-against-seeds shape).
+
+    Design for scale: one narrow scan of (id, vector); inside each Arrow
+    batch the scores against ALL queries are a single float64 matmul
+    (vectors stacked row-wise x the pre-normalized query matrix — numpy
+    BLAS, not Q interpreted higher-order-function passes), and each query
+    keeps only its per-batch top-k, so the merge shuffle carries
+    O(batches x Q x k) rows — never N x Q.  The final per-qid window rank
+    over that pre-cut is exact because a per-batch cut under the global
+    order (cos_sim desc, vec_id asc) is a superset of every query's global
+    top-k.  Rounding to 4 dp (HALF_UP, matching ``F.round``/DuckDB)
+    happens BEFORE the cut so the frontier is deterministic across
+    engines.  ``exclude`` maps qid -> a vec_id to drop (self-match)."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import Window
+
+    qids = sorted(queries)
+    spark = emb.sparkSession
+    out_ddl = "qid string, vec_id long, cos_sim double"
+    if not qids:
+        return spark.createDataFrame([], out_ddl)
+    ex = exclude or {}
+    qm = np.asarray([queries[q] for q in qids], dtype=np.float64)
+    qn = (qm / np.linalg.norm(qm, axis=1, keepdims=True)).T  # dim x Q
+    exv = np.asarray([ex.get(q, -1) for q in qids], dtype=np.int64)
+    kk = int(k)
+
+    src = emb.select(F.col(id_col).cast("long").alias("vec_id"),
+                     F.col(vec_col).cast("array<double>").alias("e"))
+
+    def _score_cut(batches):
+        for b in batches:
+            la = b.column(1)
+            n = len(la)
+            if n == 0:
+                continue
+            vid = b.column(0).to_numpy(zero_copy_only=False)
+            flat = la.flatten().to_numpy(zero_copy_only=False)
+            mat = flat.reshape(n, flat.size // n)
+            sims = (mat @ qn) / np.sqrt((mat * mat).sum(axis=1))[:, None]
+            # HALF_UP at 4 dp, the F.round/DuckDB rule (np.round is
+            # half-to-even — a different frontier on exact .00005 ties)
+            sims = np.sign(sims) * np.floor(np.abs(sims) * 1e4 + 0.5) / 1e4
+            out_qi, out_vid, out_cs = [], [], []
+            for qi in range(len(qids)):
+                cs = sims[:, qi]
+                m = np.nonzero(vid != exv[qi])[0]
+                if m.size > kk:
+                    m = m[np.lexsort((vid[m], -cs[m]))[:kk]]
+                out_qi.append(np.full(m.size, qi, dtype=np.int32))
+                out_vid.append(vid[m])
+                out_cs.append(cs[m])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(out_qi), type=pa.int32()),
+                 pa.array(np.concatenate(out_vid), type=pa.int64()),
+                 pa.array(np.concatenate(out_cs), type=pa.float64())],
+                names=["qi", "vec_id", "cos_sim"])
+
+    cut = src.mapInArrow(_score_cut,
+                         schema="qi int, vec_id long, cos_sim double")
+    w = Window.partitionBy("qi").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    qid_arr = F.array(*[F.lit(q) for q in qids])
+    return (
+        cut.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= kk)
+        .select(F.element_at(qid_arr, F.col("qi") + 1).alias("qid"),
+                "vec_id", "cos_sim")
+        .orderBy("qid", F.desc("cos_sim"), F.asc("vec_id"))
+    )
+
+
 def cosine_pairs_exact(emb: DataFrame, threshold: float = 0.95,
                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b, cos >= threshold), exact.

@@ -282,3 +282,35 @@ def test_enrich_hits_scan_is_pushed_and_broadcast(spark, tmp_path):
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
     scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scan and all("sha256" not in ln for ln in scan)  # pruned columns
+
+
+def test_ann_batch_matches_single_path_and_plan(spark):
+    """brute_force_topk_batch must be row-identical to a per-query
+    brute_force_topk loop, and its plan must be a single scan + MapInArrow
+    pre-cut + one window merge — no join of any kind (the N x Q explosion
+    never exists as rows)."""
+    from searchengine_spark.operators.ann import (
+        brute_force_topk,
+        brute_force_topk_batch,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    seeds = {r["vec_id"]: [float(x) for x in r["embedding"]]
+             for r in emb.filter(F.col("vec_id") < 4).collect()}
+    queries = {f"q{i}": v for i, v in seeds.items()}
+    exclude = {f"q{i}": i for i in seeds}
+
+    batch = brute_force_topk_batch(emb, queries, k=7, exclude=exclude)
+    got = [(r["qid"], r["vec_id"], r["cos_sim"]) for r in batch.collect()]
+    want = []
+    for i, v in sorted(seeds.items()):
+        for r in brute_force_topk(emb, v, k=7, exclude_id=i).collect():
+            want.append((f"q{i}", r["vec_id"], r["cos_sim"]))
+    assert got == want and len(got) == 4 * 7
+
+    plan = _plan(batch)
+    assert "MapInArrow" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+    # empty query set: empty result, stable schema
+    assert brute_force_topk_batch(emb, {}, k=5).count() == 0
