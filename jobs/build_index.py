@@ -43,9 +43,29 @@ def main() -> None:
                     help="also build the positional sidecar (exact phrase "
                          "search without store re-analysis; ~doubles index "
                          "bytes, opt-in)")
+    ap.add_argument("--normalizer", choices=["pinned", "english"],
+                    default="pinned",
+                    help="analyzer normal-forms table: 'pinned' fixture "
+                         "table, or 'english' = the built-in irregular-"
+                         "forms dictionary morphology (functions/english."
+                         "py); --forms-json overrides with a custom "
+                         "{token: [forms...]} dictionary")
+    ap.add_argument("--forms-json", default=None,
+                    help="path to a JSON {token: [normal forms...]} "
+                         "dictionary (implies dictionary morphology)")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
+
+    normalizer, forms = "pinned", None
+    if args.forms_json:
+        with open(args.forms_json) as fh:
+            forms = {k: tuple(v) for k, v in json.load(fh).items()}
+        normalizer = "dict"
+    elif args.normalizer == "english":
+        from searchengine_spark.functions.english import ENGLISH_FORMS
+
+        normalizer, forms = "dict", ENGLISH_FORMS
 
     from searchengine_spark.corpus import corpus_df, ingest
     from searchengine_spark.session import get_spark
@@ -81,6 +101,7 @@ def main() -> None:
         docs, args.out, n_segments=args.segments, salt=args.salt,
         n_buckets=args.buckets, block_size=args.block_size,
         analyzer_impl=args.analyzer, resume=not args.no_resume,
+        normalizer=normalizer, forms=forms,
     )
     if args.positions:
         from searchengine_spark.index.positions import build_positions

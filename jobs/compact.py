@@ -32,12 +32,16 @@ def run_compact(spark, store_dir: str, index_dir: str) -> dict:
     count re-derived from the compacted corpus at the pinned seg_size)."""
     import glob as _glob
 
-    from searchengine_spark.index.builder import build_index
+    from searchengine_spark.index.builder import build_index, index_analyzer
     from searchengine_spark.streaming import store as dstore
 
     with open(f"{index_dir}/meta.json") as fh:
         imeta = json.load(fh)
     seg_size = int(imeta["seg_size"])
+    # the morphology is pinned with the index: resolve the old normalizer
+    # (+ dict sidecar) BEFORE the resume=False rebuild, which would
+    # otherwise default back to the pinned table
+    normalizer, forms = index_analyzer(spark, index_dir, imeta)
     had_positions = bool(imeta.get("has_positions")) or bool(
         _glob.glob(f"{index_dir}/positions/segment=*"))
 
@@ -53,6 +57,7 @@ def run_compact(spark, store_dir: str, index_dir: str) -> dict:
         docs, index_dir, n_segments=n_segments,
         salt=int(imeta["salt"]), n_buckets=int(imeta["n_buckets"]),
         block_size=int(imeta["block_size"]), resume=False,
+        normalizer=normalizer, forms=forms,
     )
     if had_positions:
         # the rebuild cleared has_positions; an index that served phrases

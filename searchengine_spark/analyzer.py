@@ -229,6 +229,26 @@ def collect_lemmas(text: str) -> dict[str, int]:
     return dict(Counter(analyze(text)))
 
 
+def _forms_table(normalizer: str,
+                 forms: dict[str, tuple[str, ...]] | None,
+                 ) -> dict[str, tuple[str, ...]]:
+    """Resolve the normal-forms table for a TABLE-DRIVEN normalizer:
+    'pinned' -> the fixture exception table, 'dict' -> the caller's
+    dictionary.  The stemmer normalizers ('stem'/'porter') are not
+    table-driven and are rejected here — the fused map-side analyzer
+    stages support exactly the table mechanism (the reference's
+    LemmaFinderImpl shape)."""
+    if normalizer == "pinned":
+        return NORMAL_FORMS
+    if normalizer == "dict":
+        if forms is None:
+            raise ValueError("normalizer='dict' needs a forms mapping")
+        return forms
+    raise ValueError(
+        f"table-driven analyzer stage supports normalizer in "
+        f"('pinned', 'dict'), got {normalizer!r}")
+
+
 # --- JVM path (default): pure Catalyst expressions --------------------------
 
 
@@ -394,7 +414,10 @@ def tokenize(docs: DataFrame, text_col: str = "content",
     raise ValueError(f"unknown analyzer impl: {impl!r}")
 
 
-def doc_term_stats_arrow(docs: DataFrame, text_col: str = "content") -> DataFrame:
+def doc_term_stats_arrow(docs: DataFrame, text_col: str = "content",
+                         normalizer: str = "pinned",
+                         forms: dict[str, tuple[str, ...]] | None = None,
+                         ) -> DataFrame:
     """(repo, doc_id, text) -> (repo, doc_id, lemma, tf, dl) with ZERO
     shuffle: a document's tokens all live in its own input row, so per-doc
     term frequencies and the doc length are computable entirely map-side
@@ -415,13 +438,14 @@ def doc_term_stats_arrow(docs: DataFrame, text_col: str = "content") -> DataFram
 
     schema = "repo string, doc_id long, lemma string, tf int, dl long"
     narrowed = docs.select("repo", "doc_id", text_col)
+    table = _forms_table(normalizer, forms)
 
     def _batches(it):
         import pyarrow as pa
         import pyarrow.compute as pc
 
         stop_set = pa.array(sorted(STOP_WORDS))
-        exc_set = pa.array(list(NORMAL_FORMS))
+        exc_set = pa.array(list(table))
         for batch in it:
             if batch.num_rows == 0:
                 continue
@@ -451,7 +475,7 @@ def doc_term_stats_arrow(docs: DataFrame, text_col: str = "content") -> DataFram
                 xt: list[str] = []
                 xp: list[int] = []
                 for tkn, p in zip(et, ep):
-                    for form in NORMAL_FORMS[tkn]:
+                    for form in table[tkn]:
                         xt.append(form)
                         xp.append(p)
                 toks = pa.concat_arrays([bt, pa.array(xt, type=bt.type)])
@@ -485,7 +509,10 @@ def doc_term_stats_arrow(docs: DataFrame, text_col: str = "content") -> DataFram
     return narrowed.mapInArrow(_batches, schema=schema)
 
 
-def doc_term_stats_pandas(docs: DataFrame, text_col: str = "content") -> DataFrame:
+def doc_term_stats_pandas(docs: DataFrame, text_col: str = "content",
+                          normalizer: str = "pinned",
+                          forms: dict[str, tuple[str, ...]] | None = None,
+                          ) -> DataFrame:
     """The pandas-object execution of :func:`doc_term_stats_arrow`'s
     contract (mapInPandas) — kept as the equivalence-test twin and the
     fallback if a pyarrow compute kernel is unavailable.
@@ -494,11 +521,12 @@ def doc_term_stats_pandas(docs: DataFrame, text_col: str = "content") -> DataFra
 
     schema = "repo string, doc_id long, lemma string, tf int, dl long"
     narrowed = docs.select("repo", "doc_id", text_col)
+    table = {k: list(v) for k, v in _forms_table(normalizer, forms).items()}
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as pd
 
-        forms = {k: list(v) for k, v in NORMAL_FORMS.items()}
+        forms = table
         for pdf in it:
             if pdf.empty:
                 continue

@@ -146,6 +146,35 @@ def hash_bucket_col(lemma_col, n_buckets: int):
     ).cast("int")
 
 
+_ANALYZER_CACHE: dict[tuple[str, str],
+                      tuple[str, dict[str, tuple[str, ...]] | None]] = {}
+
+
+def index_analyzer(spark, index_dir: str, meta: dict | None = None,
+                   ) -> tuple[str, dict[str, tuple[str, ...]] | None]:
+    """(normalizer, forms) for analyzing QUERIES against this index.
+
+    The index's morphology is an index property (``meta.normalizer`` +
+    the ``dict_forms`` sidecar), so every serving path must analyze with
+    the same table the build used — the reference's per-process morphology
+    singleton (LemmaFinderImpl.java:25-31).  The dictionary is collected
+    once per (index_dir, dict_sha) and cached process-wide; it is a
+    bounded vocabulary artifact (MBs at any corpus size)."""
+    if meta is None:
+        with open(f"{index_dir}/meta.json") as fh:
+            meta = json.load(fh)
+    norm = meta.get("normalizer", "pinned")
+    if norm != "dict":
+        return norm, None
+    key = (index_dir, str(meta.get("dict_sha", "")))
+    hit = _ANALYZER_CACHE.get(key)
+    if hit is None:
+        rows = spark.read.parquet(f"{index_dir}/dict_forms").collect()
+        hit = ("dict", {r["token"]: tuple(r["forms"]) for r in rows})
+        _ANALYZER_CACHE[key] = hit
+    return hit
+
+
 def build_index(
     docs_ingested: DataFrame,
     out_dir: str,
@@ -156,6 +185,8 @@ def build_index(
     analyzer_impl: str = "arrow",
     resume: bool = True,
     fixed_avgdl: float | None = None,
+    normalizer: str = "pinned",
+    forms: dict[str, tuple[str, ...]] | None = None,
 ) -> dict:
     """Build (or resume) the physical index under ``out_dir``.
 
@@ -163,7 +194,16 @@ def build_index(
       out_dir/meta.json
       out_dir/manifests/segment=K.json
       out_dir/data/segment=K/bucket=B/*.parquet
-    """
+      out_dir/dict_forms/  (normalizer='dict' only: the morphology table)
+
+    ``normalizer``/``forms`` select the analyzer's normal-forms table
+    ('pinned' fixture table, or 'dict' + an arbitrary dictionary — e.g.
+    ``functions.english.ENGLISH_FORMS``); the choice is an INDEX PROPERTY
+    pinned like seg_size: resumed/incremental builds reuse the stored
+    normalizer and its persisted ``dict_forms`` sidecar, and every query
+    path analyzes with the same table via :func:`index_analyzer` (the
+    reference ships its morphology inside the index the same way —
+    LemmaFinderImpl.java:25-31 singleton)."""
     import shutil
 
     from .checkpoint import segment_done, write_manifest
@@ -180,6 +220,20 @@ def build_index(
     if resume and os.path.exists(f"{out_dir}/meta.json"):
         with open(f"{out_dir}/meta.json") as fh:
             old_meta = json.load(fh)
+    if old_meta is not None:
+        # the normalizer is pinned with the index (postings encode ITS
+        # lemmas); a resumed build must analyze with the stored table
+        normalizer = old_meta.get("normalizer", "pinned")
+        if normalizer == "dict":
+            _, forms = index_analyzer(spark, out_dir, old_meta)
+    if normalizer not in ("pinned", "dict"):
+        raise ValueError(
+            "build_index supports table-driven normalizers only "
+            f"('pinned', 'dict'), got {normalizer!r}")
+    if normalizer == "dict" and analyzer_impl != "arrow":
+        raise ValueError("normalizer='dict' requires analyzer_impl='arrow'")
+    if normalizer == "dict" and forms is None:
+        raise ValueError("normalizer='dict' needs a forms mapping")
 
     # n_docs (the BM25 idf/avgdl base) is the ROW count; the segment span
     # derives from max(doc_id)+1 — they differ once deletes leave id holes
@@ -272,7 +326,8 @@ def build_index(
         # shuffle of the whole build is the salted posting merge itself
         from ..analyzer import doc_term_stats_arrow
 
-        stats = doc_term_stats_arrow(analyzed)
+        stats = doc_term_stats_arrow(analyzed, normalizer=normalizer,
+                                     forms=forms)
     else:
         tf = term_frequencies(analyzed, impl=analyzer_impl)
         dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
@@ -307,8 +362,26 @@ def build_index(
         "block_size": block_size,
         "k1": K1,
         "b": B,
+        "normalizer": normalizer,
     }
     os.makedirs(out_dir, exist_ok=True)
+    if normalizer == "dict":
+        # persist the morphology table WITH the index (bounded vocabulary
+        # artifact): serving analyzes queries with exactly the table that
+        # produced the postings.  dict_sha keys the process-wide cache.
+        import hashlib
+
+        items = sorted((k, tuple(v)) for k, v in forms.items())
+        dict_sha = hashlib.sha256(repr(items).encode()).hexdigest()[:16]
+        meta["dict_sha"] = dict_sha
+        if (old_meta is None
+                or old_meta.get("dict_sha") != dict_sha
+                or not os.path.isdir(f"{out_dir}/dict_forms")):
+            (spark.createDataFrame(
+                [(k, list(v)) for k, v in items],
+                "token string, forms array<string>")
+             .coalesce(1).write.mode("overwrite")
+             .parquet(f"{out_dir}/dict_forms"))
     with open(f"{out_dir}/meta.json", "w") as fh:
         json.dump(meta, fh, indent=1)
 

@@ -90,7 +90,10 @@ def phrase_topk(spark: SparkSession, index_dir: str, store_dir: str | None,
 
     out_schema = "doc_id long, phrase_tf long"
     empty = spark.createDataFrame([], out_schema)
-    qforms = [frozenset(p) for p in analyze_positions(phrase)]
+    from .builder import index_analyzer
+
+    ana = index_analyzer(spark, index_dir)
+    qforms = [frozenset(p) for p in analyze_positions(phrase, *ana)]
     if not qforms:
         return empty
     all_forms = sorted({f for fs in qforms for f in fs})
@@ -136,7 +139,9 @@ def phrase_topk(spark: SparkSession, index_dir: str, store_dir: str | None,
 
     def _verify(batches):
         for pdf in batches:
-            tfs = [count_phrase(analyze_positions(t), qforms)
+            # candidate docs re-analyze with the INDEX's normalizer (ana is
+            # shipped in the closure — the dictionary is a bounded artifact)
+            tfs = [count_phrase(analyze_positions(t, *ana), qforms)
                    for t in pdf["content"]]
             out = pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
                                 "phrase_tf": pd.Series(tfs, dtype="int64",

@@ -123,7 +123,10 @@ def decode_term_positions(pdocs: bytes, pcounts: bytes, pstream: bytes
     return docs, counts, flat
 
 
-def doc_lemma_positions(docs: DataFrame, text_col: str = "content") -> DataFrame:
+def doc_lemma_positions(docs: DataFrame, text_col: str = "content",
+                        normalizer: str = "pinned",
+                        forms: dict[str, tuple[str, ...]] | None = None,
+                        ) -> DataFrame:
     """(repo?, doc_id, text) -> FLAT (doc_id, lemma, pos) rows, one per
     occurrence, with ZERO shuffle — a doc's positional stream is computed
     entirely map-side, mirroring the pinned ``analyze_positions`` exactly:
@@ -136,18 +139,19 @@ def doc_lemma_positions(docs: DataFrame, text_col: str = "content") -> DataFrame
     ~3x the main build; flat primitive rows let the JVM assemble the runs
     and the merge stay pure numpy).  Only the rare exception-table tokens
     round-trip through Python."""
-    from ..analyzer import _CAMEL_1, _CAMEL_2, _STRIP_PY
-    from ..analyzer import MIN_TOKEN_LEN, NORMAL_FORMS, STOP_WORDS
+    from ..analyzer import _CAMEL_1, _CAMEL_2, _STRIP_PY, _forms_table
+    from ..analyzer import MIN_TOKEN_LEN, STOP_WORDS
 
     schema = "doc_id long, lemma string, pos int"
     narrowed = docs.select("doc_id", text_col)
+    table = _forms_table(normalizer, forms)
 
     def _batches(it):
         import pyarrow as pa
         import pyarrow.compute as pc
 
         stop_set = pa.array(sorted(STOP_WORDS))
-        exc_set = pa.array(list(NORMAL_FORMS))
+        exc_set = pa.array(list(table))
         for batch in it:
             if batch.num_rows == 0:
                 continue
@@ -199,7 +203,7 @@ def doc_lemma_positions(docs: DataFrame, text_col: str = "content") -> DataFrame
                 xp: list[int] = []
                 xpos: list[int] = []
                 for tkn, p_, q_ in zip(et, ep, epos):
-                    for form in NORMAL_FORMS[tkn]:
+                    for form in table[tkn]:
                         xt.append(form)
                         xp.append(p_)
                         xpos.append(q_)
@@ -249,7 +253,10 @@ def build_positions(docs_ingested: DataFrame, index_dir: str,
     docs = docs_ingested.select("doc_id", "content")
     if segments is not None:
         docs = docs.filter(seg_ranges_filter(target, seg_size))
-    pos = doc_lemma_positions(docs)
+    from .builder import index_analyzer
+
+    norm, forms = index_analyzer(spark, index_dir, meta)
+    pos = doc_lemma_positions(docs, normalizer=norm, forms=forms)
     seg_col = (F.col("doc_id") / seg_size).cast("int")
     # salted runs travel as two ALIGNED primitive arrays — one entry per
     # OCCURRENCE (struct-field extraction after sort_array, JVM-side);
@@ -434,7 +441,10 @@ def phrase_topk_batch(spark: SparkSession, index_dir: str,
             "meta.has_positions) — run build_positions first")
     out_schema = "qid string, doc_id long, phrase_tf long"
     empty = spark.createDataFrame([], out_schema)
-    qpat = {qid: [frozenset(p) for p in analyze_positions(ph)]
+    from .builder import index_analyzer
+
+    ana = index_analyzer(spark, index_dir)
+    qpat = {qid: [frozenset(p) for p in analyze_positions(ph, *ana)]
             for qid, ph in phrases.items()}
     qpat = {qid: p for qid, p in qpat.items() if p}
     if not qpat:
@@ -532,7 +542,10 @@ def phrase_topk_positions(spark: SparkSession, index_dir: str, phrase: str,
             "store-verify path")
     out_schema = "doc_id long, phrase_tf long"
     empty = spark.createDataFrame([], out_schema)
-    qforms = [frozenset(p) for p in analyze_positions(phrase)]
+    from .builder import index_analyzer
+
+    qforms = [frozenset(p) for p in
+              analyze_positions(phrase, *index_analyzer(spark, index_dir))]
     if not qforms:
         return empty
     all_forms = sorted({f for fs in qforms for f in fs})

@@ -422,6 +422,11 @@ class QueryEngine:
         with open(f"{self.index_dir}/meta.json") as fh:
             self.meta = json.load(fh)
         self._fp = index_fingerprint(self.index_dir)
+        # the index's morphology (normalizer + dict sidecar) is part of its
+        # identity: queries must analyze with the table the build used
+        from .builder import index_analyzer
+
+        self._ana = index_analyzer(self.spark, self.index_dir, self.meta)
         # build-time average posting width: df * _bpp predicts a term's
         # driver-side bytes BEFORE any collect.  Indexes built before the
         # estimate existed fall back to a conservative constant.
@@ -476,7 +481,7 @@ class QueryEngine:
         self._check_fresh()
         gdf = None
         if self._gdf is not None:
-            qlemmas = sorted(set(analyze(query)))
+            qlemmas = sorted(set(analyze(query, *self._ana)))
             gdf = {t: self._gdf[t] for t in qlemmas if t in self._gdf}
         return bm25_topk(self.spark, self.index_dir, query, k, mode=mode,
                          conjunctive=conjunctive, index_df=self.index_df,
@@ -495,7 +500,8 @@ class QueryEngine:
         self._check_fresh()
         gdf = None
         if self._gdf is not None:
-            lemmas = {t for q in queries.values() for t in analyze(q)}
+            lemmas = {t for q in queries.values()
+                      for t in analyze(q, *self._ana)}
             gdf = {t: self._gdf[t] for t in lemmas if t in self._gdf}
         iv = {s: (self._site(s) or []) for s in set((sites or {}).values())}
         return bm25_topk_batch(self.spark, self.index_dir, queries, k,
@@ -675,7 +681,7 @@ class QueryEngine:
                 "positional sidecar missing or stale (a rebuild clears "
                 "meta.has_positions) — run build_positions first, or use "
                 "the store-verify path")
-        qpat = [frozenset(p) for p in analyze_positions(phrase)]
+        qpat = [frozenset(p) for p in analyze_positions(phrase, *self._ana)]
         if not qpat:
             return []
         intervals = self._site(site)
@@ -763,7 +769,7 @@ class QueryEngine:
         self._check_fresh()
         for s in sites or ():
             self._site(s)
-        lemmas = sorted({t for q in queries for t in analyze(q)})
+        lemmas = sorted({t for q in queries for t in analyze(q, *self._ana)})
         fetch = []
         for t in lemmas:
             if t in self._term_cache:
@@ -789,7 +795,8 @@ class QueryEngine:
 
             if has_positions(self.index_dir):
                 forms = sorted({f for ph in phrases
-                                for fs in analyze_positions(ph) for f in fs})
+                                for fs in analyze_positions(ph, *self._ana)
+                                for f in fs})
                 pfetch = []
                 for t in forms:
                     if t in self._pos_cache:
@@ -830,7 +837,7 @@ class QueryEngine:
         self._check_fresh()
         if offset < 0:
             raise ValueError("offset must be >= 0")
-        qlemmas = sorted(set(analyze(query)))
+        qlemmas = sorted(set(analyze(query, *self._ana)))
         if not qlemmas:
             return []
         intervals = self._site(site)
@@ -945,7 +952,10 @@ def bm25_topk_batch(spark: SparkSession, index_dir: str,
 
     with open(f"{index_dir}/meta.json") as fh:
         meta = json.load(fh)
-    qmap = {qid: sorted(set(analyze(q))) for qid, q in queries.items()}
+    from .builder import index_analyzer
+
+    ana = index_analyzer(spark, index_dir, meta)
+    qmap = {qid: sorted(set(analyze(q, *ana))) for qid, q in queries.items()}
     qmap = {qid: ls for qid, ls in qmap.items() if ls}
     out_schema = "qid string, doc_id long, score double"
     empty = spark.createDataFrame([], out_schema)
@@ -1077,7 +1087,10 @@ def bm25_topk(spark: SparkSession, index_dir: str, query: str, k: int = 10,
         raise ValueError("offset must be >= 0")
     with open(f"{index_dir}/meta.json") as fh:
         meta = json.load(fh)
-    qlemmas = sorted(set(analyze(query)))
+    from .builder import index_analyzer
+
+    qlemmas = sorted(set(analyze(query, *index_analyzer(spark, index_dir,
+                                                        meta))))
     empty = spark.createDataFrame([], "doc_id long, score double")
     if not qlemmas:
         return empty

@@ -1,0 +1,187 @@
+"""Dictionary morphology on the PHYSICAL index path: build with
+normalizer='dict' (the built-in English irregular-forms dictionary), serve
+queries/phrases analyzed with the SAME table, pin the normalizer as an
+index property across resume / incremental rebuild / compaction.
+
+Reference semantics: LemmaFinderImpl.java:40-44 counts EVERY normal form
+of a surface token; the morphology lives with the engine as a singleton
+(:25-31) — here it is persisted as the index's ``dict_forms`` sidecar and
+resolved by ``builder.index_analyzer`` on every serving path.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from searchengine_spark.analyzer import MIN_TOKEN_LEN, STOP_WORDS, analyze
+from searchengine_spark.corpus import ingest
+from searchengine_spark.functions.english import ENGLISH_FORMS
+from searchengine_spark.index.builder import build_index, index_analyzer
+from searchengine_spark.index.positions import (
+    build_positions,
+    phrase_topk_positions,
+)
+from searchengine_spark.index.wand import QueryEngine, bm25_topk
+from searchengine_spark.schema import DOCS_SCHEMA
+
+DOCS = [
+    ("org/a", "src/a.py", "c1", "py",
+     "yesterday the team went home and wrote some tests"),
+    ("org/a", "src/b.py", "c1", "py",
+     "people gone home when the children leave quietly"),
+    ("org/a", "src/c.py", "c1", "py",
+     "the function goes over every matrix twice"),
+    ("org/b", "src/d.py", "c1", "py",
+     "matrices with indices everywhere inside sparse index code"),
+    ("org/b", "src/e.py", "c1", "py",
+     "nothing relevant here just filler text tokens"),
+    ("org/b", "src/f.py", "c1", "py",
+     "only leaves remain after the autumn wind"),
+    ("org/b", "src/g.py", "c1", "py",
+     "turn left at the second junction then go straight"),
+]
+
+
+def test_dictionary_hygiene():
+    """Every entry can actually fire: keys survive the pinned length/stop
+    filters, values are deterministic (sorted, lowercase)."""
+    for k, v in ENGLISH_FORMS.items():
+        assert len(k) >= MIN_TOKEN_LEN, k
+        assert k not in STOP_WORDS, k
+        assert k == k.lower() and all(f == f.lower() for f in v), k
+        assert list(v) == sorted(v), k
+        assert len(set(v)) == len(v), k
+    assert ENGLISH_FORMS["went"] == ("go",)
+    assert ENGLISH_FORMS["left"] == ("leave", "left")  # multi-lemma
+
+
+@pytest.fixture(scope="module")
+def dict_idx(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("dict_idx")
+    docs = ingest(spark.createDataFrame(DOCS, DOCS_SCHEMA))
+    idx = str(root / "idx")
+    build_index(docs, idx, n_segments=3, salt=2, n_buckets=4, resume=False,
+                normalizer="dict", forms=ENGLISH_FORMS)
+    build_positions(docs, idx)
+    return idx, docs
+
+
+def test_meta_and_sidecar(spark, dict_idx):
+    idx, _ = dict_idx
+    with open(f"{idx}/meta.json") as fh:
+        meta = json.load(fh)
+    assert meta["normalizer"] == "dict" and meta["dict_sha"]
+    norm, forms = index_analyzer(spark, idx, meta)
+    assert norm == "dict" and forms == ENGLISH_FORMS
+    # process-wide cache: same object back, no second read
+    assert index_analyzer(spark, idx, meta)[1] is forms
+
+
+def test_inflections_meet_at_the_lemma(spark, dict_idx):
+    """The dictionary's whole point: every inflection of 'go' finds every
+    document containing ANY inflection of 'go'."""
+    idx, _ = dict_idx
+    # docs 0/1/2 carry went/gone/goes; doc 6's bare surface 'go' is
+    # length-dropped (len < 4) on BOTH sides — symmetric with the reference
+    for q in ("went", "gone", "goes"):
+        got = sorted(r["doc_id"] for r in bm25_topk(spark, idx, q, 10).collect())
+        assert got == [0, 1, 2], q  # doc 6's bare 'go' is length-dropped
+
+
+def test_multi_lemma_query_or_mode(spark, dict_idx):
+    """'left' -> (leave, left): in OR scoring it reaches docs holding
+    either lemma — 'leave' (doc 1), 'leaves' -> leave (doc 5), surface
+    'left' (doc 6)."""
+    idx, _ = dict_idx
+    got = sorted(r["doc_id"] for r in bm25_topk(spark, idx, "left", 10).collect())
+    assert got == [1, 5, 6]
+
+
+def test_engine_paths_match_distributed(spark, dict_idx):
+    idx, _ = dict_idx
+    eng = QueryEngine(spark, idx)
+    for q in ("went", "left", "matrices"):
+        want = [(r["doc_id"], r["score"])
+                for r in bm25_topk(spark, idx, q, 10).collect()]
+        assert eng.topk_rows(q, 10) == want, q       # cold
+        assert eng.topk_rows(q, 10) == want, q       # warm
+
+
+def test_phrase_paths_cross_inflection(spark, dict_idx):
+    """Phrase matching through the dictionary: 'went home' and 'gone home'
+    are the same lemma pattern (go, home) — both match docs 0 and 1, on
+    the positional path, the warm engine path, and the store-verify path."""
+    idx, docs = dict_idx
+    want = [(0, 1), (1, 1)]
+    for ph in ("went home", "gone home"):
+        got = [(r["doc_id"], r["phrase_tf"])
+               for r in phrase_topk_positions(spark, idx, ph, 10).collect()]
+        assert got == want, ph
+    eng = QueryEngine(spark, idx)
+    assert eng.phrase_rows("went home", 10) == want
+
+    from searchengine_spark.index.phrase import phrase_topk
+    from searchengine_spark.streaming.store import init_store
+
+    # store-verify path: build a store from the raw docs (ids consistent
+    # because ingest ranks deterministically)
+    store = idx + "_store"
+    raw = spark.createDataFrame(DOCS, DOCS_SCHEMA)
+    init_store(raw, store)
+    got = [(r["doc_id"], r["phrase_tf"])
+           for r in phrase_topk(spark, idx, store, "went home", 10,
+                                impl="store").collect()]
+    assert got == want
+
+
+def test_resume_and_rebuild_pin_normalizer(spark, tmp_path):
+    """A resumed build and an incremental segment rebuild must keep the
+    dictionary analyzer (the postings encode ITS lemmas)."""
+    from searchengine_spark.streaming.incremental import rebuild_segments
+
+    docs = ingest(spark.createDataFrame(DOCS, DOCS_SCHEMA))
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx, n_segments=2, salt=2, n_buckets=4, resume=False,
+                normalizer="dict", forms=ENGLISH_FORMS)
+    # resume with NO morphology args: stored normalizer wins
+    build_index(docs, idx, n_segments=2, salt=2, n_buckets=4)
+    with open(f"{idx}/meta.json") as fh:
+        assert json.load(fh)["normalizer"] == "dict"
+    rebuild_segments(docs, idx, [0])
+    with open(f"{idx}/meta.json") as fh:
+        assert json.load(fh)["normalizer"] == "dict"
+    got = sorted(r["doc_id"] for r in bm25_topk(spark, idx, "went", 10).collect())
+    assert got == [0, 1, 2]
+
+
+def test_validation_errors(spark, tmp_path):
+    docs = ingest(spark.createDataFrame(DOCS[:2], DOCS_SCHEMA))
+    with pytest.raises(ValueError, match="forms"):
+        build_index(docs, str(tmp_path / "x1"), resume=False,
+                    normalizer="dict")
+    with pytest.raises(ValueError, match="arrow"):
+        build_index(docs, str(tmp_path / "x2"), resume=False,
+                    normalizer="dict", forms=ENGLISH_FORMS,
+                    analyzer_impl="jvm")
+    with pytest.raises(ValueError, match="normalizer"):
+        build_index(docs, str(tmp_path / "x3"), resume=False,
+                    normalizer="porter")
+
+
+def test_pinned_default_unchanged(spark, tmp_path):
+    """A default build's postings are byte-identical with and without the
+    morphology plumbing in the code path (golden-fixture safety)."""
+    docs = ingest(spark.createDataFrame(DOCS, DOCS_SCHEMA))
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx, n_segments=2, salt=2, n_buckets=4, resume=False)
+    with open(f"{idx}/meta.json") as fh:
+        meta = json.load(fh)
+    assert meta["normalizer"] == "pinned"
+    assert index_analyzer(spark, idx, meta) == ("pinned", None)
+    # pinned analysis: 'went' stays 'went' — cross-inflection match is OFF
+    got = sorted(r["doc_id"] for r in bm25_topk(spark, idx, "went", 10).collect())
+    assert got == [0]
+    # and the query analyzer agrees with the plain pinned analyze()
+    assert analyze("went gone goes") == ["went", "gone", "goes"]
