@@ -88,3 +88,56 @@ def fingerprint(text_col: Column) -> Column:
     """Deterministic content fingerprint: md5 of lowercased
     whitespace-normalized text (md5 matches across Spark and DuckDB)."""
     return F.md5(F.regexp_replace(F.lower(text_col), r"\s+", " "))
+
+
+def word_ngrams(text_col: Column, n: int = 3) -> Column:
+    """Array of word ``n``-grams (space-joined) over the whitespace tokens;
+    empty array when the doc has fewer than ``n`` tokens.  The CASE guard
+    matters: ``sequence(1, count)`` DESCENDS when count < 1."""
+    toks = tokens_col(text_col)
+    count = F.size(toks) - (n - 1)
+    return F.when(
+        count >= 1,
+        F.transform(F.sequence(F.lit(1), count),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_ratio(text_col: Column, n: int = 3) -> Column:
+    """Fraction of DUPLICATED word n-grams within the doc
+    (1 - distinct/total; 0 for docs shorter than ``n`` tokens) — the
+    classic training-data repetition filter (boilerplate banners, looped
+    generations score high).  Pure Catalyst; the n-gram materialization is
+    per-row and map-side, nothing wide ever shuffles."""
+    grams = word_ngrams(text_col, n)
+    total = F.size(grams)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)).cast("double") / total,
+            4,
+        )
+    )
+
+
+# Email/URL detection + masking: the redaction step of a cleaning pipeline.
+# Both patterns use the regex subset Java and RE2 (DuckDB) evaluate
+# identically — no lookahead, no backreferences.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def email_count(text_col: Column) -> Column:
+    return F.size(F.regexp_extract_all(text_col, F.lit(EMAIL_RE), F.lit(0))).cast("long")
+
+
+def url_count(text_col: Column) -> Column:
+    return F.size(F.regexp_extract_all(text_col, F.lit(URL_RE), F.lit(0))).cast("long")
+
+
+def mask_pii(text_col: Column) -> Column:
+    """Replace every email with ``<EMAIL>`` and every URL with ``<URL>``
+    (emails first — an email inside a URL's query string masks as part of
+    the URL, pinned by the application order)."""
+    return F.regexp_replace(
+        F.regexp_replace(text_col, URL_RE, "<URL>"), EMAIL_RE, "<EMAIL>")

@@ -1186,6 +1186,86 @@ FROM documents
 """
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition filter: duplicated-3-gram fraction over
+    the raw text AND over the text doubled with itself (planting a
+    guaranteed-nonzero case so the oracle exercises the whole range)."""
+    from .functions.text import repetition_ratio
+
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        repetition_ratio(F.col("text")).alias("rep3"),
+        repetition_ratio(F.concat_ws(" ", "text", "text")).alias("rep3_doubled"),
+    ).orderBy("doc_id")
+
+
+def _rep_sql(tok_expr: str) -> str:
+    """1 - distinct/total over word 3-grams of a token-list expression
+    (0 when fewer than 3 tokens), mirroring functions.text.repetition_ratio."""
+    grams = (f"CASE WHEN len({tok_expr}) >= 3 THEN "
+             f"list_transform(generate_series(1, len({tok_expr}) - 2), "
+             f"i -> array_to_string(({tok_expr})[i:i+2], ' ')) "
+             f"ELSE []::VARCHAR[] END")
+    return (f"CASE WHEN len({grams}) = 0 THEN 0.0 ELSE "
+            f"round(1.0 - len(list_distinct({grams}))::DOUBLE / len({grams}), 4) END")
+
+
+SQL_REPETITION = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk,
+         list_filter(regexp_split_to_array(text || ' ' || text, '\\s+'), t -> t <> '') AS tk2
+  FROM documents
+)
+SELECT doc_id, {_rep_sql('tk')} AS rep3, {_rep_sql('tk2')} AS rep3_doubled
+FROM tok ORDER BY doc_id
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/URL detection + masking (the redaction step of a cleaning
+    pipeline): a deterministic email + URL (with an embedded query-string
+    email) is planted per doc so the counts and the mask actually fire.
+    Counts run on the raw text; the mask applies URLs first (pinned
+    order), so the query-string email disappears inside <URL>."""
+    from .functions.text import email_count, mask_pii, url_count
+
+    docs = _load(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.lit("contact dev"), F.col("doc_id").cast("string"),
+        F.lit("@example.com via https://repo.example/p/"),
+        F.col("doc_id").cast("string"), F.lit("?u=x@y.io "),
+        F.substring("text", 1, 200),
+    )
+    return docs.select(
+        "doc_id",
+        email_count(planted).alias("n_emails"),
+        url_count(planted).alias("n_urls"),
+        mask_pii(planted).alias("masked"),
+    ).orderBy("doc_id")
+
+
+_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_URL_SQL = "https?://[^\\s]+"
+
+SQL_PII_SCRUB = f"""
+WITH p AS (
+  SELECT doc_id,
+         'contact dev' || doc_id::VARCHAR || '@example.com via ' ||
+         'https://repo.example/p/' || doc_id::VARCHAR || '?u=x@y.io ' ||
+         substr(text, 1, 200) AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_EMAIL_SQL}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(t, '{_URL_SQL}'))::BIGINT AS n_urls,
+       regexp_replace(regexp_replace(t, '{_URL_SQL}', '<URL>', 'g'),
+                      '{_EMAIL_SQL}', '<EMAIL>', 'g') AS masked
+FROM p ORDER BY doc_id
+"""
+
+
 # --- C6/C7 for HTML payloads: Jsoup .text()/.title() analog ------------------
 
 
@@ -1501,6 +1581,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count": q_token_count,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "repetition_ratio": q_repetition,
+    "pii_scrub": q_pii_scrub,
     "clean_corpus": q_clean_corpus,
     "set_intersect": q_set_intersect,
     "set_union_distinct": q_set_union_distinct,
@@ -1538,6 +1620,8 @@ ORACLE: dict[str, str] = {
     "token_count": SQL_TOKEN_COUNT,
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,
+    "repetition_ratio": SQL_REPETITION,
+    "pii_scrub": SQL_PII_SCRUB,
     "clean_corpus": SQL_CLEAN_CORPUS,
     "set_intersect": SQL_SET_INTERSECT,
     "set_union_distinct": SQL_SET_UNION,

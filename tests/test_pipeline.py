@@ -63,3 +63,45 @@ def test_clean_corpus_plan_shape(spark, docs):
     plan = summ._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_repetition_ratio_planted_values(spark):
+    """Exact duplicated-3-gram fractions on planted texts (the gate twin
+    checks Spark==DuckDB; this pins the VALUES both agree on)."""
+    from searchengine_spark.functions.text import repetition_ratio
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c"),   # 7 grams, 3 distinct -> 1 - 3/7
+         (2, "one two"),             # < 3 tokens -> 0
+         (3, "w1 w2 w3 w4"),         # all grams distinct -> 0
+         (4, "")],                   # empty -> 0
+        "doc_id int, text string")
+    got = {r["doc_id"]: r["rep"] for r in df.select(
+        "doc_id", repetition_ratio(F.col("text")).alias("rep")).collect()}
+    assert got[1] == round(1 - 3 / 7, 4)
+    assert got[2] == 0.0 and got[3] == 0.0 and got[4] == 0.0
+
+
+def test_pii_mask_and_counts(spark):
+    from searchengine_spark.functions.text import (
+        email_count,
+        mask_pii,
+        url_count,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "mail bob@x.io or visit https://a.example/c?u=eve@y.io now"),
+         (2, "no pii here")],
+        "doc_id int, text string")
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        email_count(F.col("text")).alias("ne"),
+        url_count(F.col("text")).alias("nu"),
+        mask_pii(F.col("text")).alias("m"),
+    ).collect()}
+    # counts run on raw text: both emails counted, one URL
+    assert out[1]["ne"] == 2 and out[1]["nu"] == 1
+    # mask applies URLs FIRST: the query-string email vanishes inside <URL>
+    assert out[1]["m"] == "mail <EMAIL> or visit <URL> now"
+    assert out[2]["ne"] == 0 and out[2]["nu"] == 0
+    assert out[2]["m"] == "no pii here"
