@@ -475,6 +475,93 @@ def ivf_topk_partitioned(spark, path: str, query_vec: list[float], k: int = 10,
     return brute_force_topk(cand, query_vec, k, id_col, vec_col, exclude_id)
 
 
+def ivf_topk_batch_partitioned(spark, path: str,
+                               queries: dict[str, list[float]],
+                               k: int = 10, nprobe: int = 2,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               exclude: dict[str, int] | None = None,
+                               ) -> DataFrame:
+    """Whole-batch ANN over a :func:`write_embeddings_ivf` table: (qid,
+    vec_id, cos_sim), per qid row-identical to
+    :func:`ivf_topk_partitioned` (parity-tested).
+
+    The batch composition of the two scale tricks: ONE partition-pruned
+    scan covers the UNION of every query's probed lists, and inside each
+    Arrow batch all queries score in a single matmul — a query's column is
+    then masked to ITS probe lists before the per-batch top-k cut, so
+    probe semantics stay exactly per-query while the scan and the Arrow
+    transfer are shared.  Merge shuffle carries O(batches x Q x k)."""
+    import json as _json
+
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import Window
+
+    qids = sorted(queries)
+    out_ddl = "qid string, vec_id long, cos_sim double"
+    if not qids:
+        return spark.createDataFrame([], out_ddl)
+    with open(f"{path}/_ivf_meta.json") as fh:
+        meta = _json.load(fh)
+    centroids = [(int(c), [float(x) for x in v]) for c, v in meta["centroids"]]
+    probe_of = {q: _ivf_probes(queries[q], centroids, nprobe) for q in qids}
+    union = sorted({p for ps in probe_of.values() for p in ps})
+
+    ex = exclude or {}
+    qm = np.asarray([queries[q] for q in qids], dtype=np.float64)
+    qn = (qm / np.linalg.norm(qm, axis=1, keepdims=True)).T
+    exv = np.asarray([ex.get(q, -1) for q in qids], dtype=np.int64)
+    probe_arrs = [np.asarray(probe_of[q], dtype=np.int64) for q in qids]
+    kk = int(k)
+
+    src = read_embeddings_ivf_probed(spark, path, union).select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+        F.col("list_id").cast("long").alias("list_id"),
+    )
+
+    def _score_cut(batches):
+        for b in batches:
+            la = b.column(1)
+            n = len(la)
+            if n == 0:
+                continue
+            vid = b.column(0).to_numpy(zero_copy_only=False)
+            lid = b.column(2).to_numpy(zero_copy_only=False)
+            flat = la.flatten().to_numpy(zero_copy_only=False)
+            mat = flat.reshape(n, flat.size // n)
+            sims = (mat @ qn) / np.sqrt((mat * mat).sum(axis=1))[:, None]
+            sims = np.sign(sims) * np.floor(np.abs(sims) * 1e4 + 0.5) / 1e4
+            out_qi, out_vid, out_cs = [], [], []
+            for qi in range(len(qids)):
+                cs = sims[:, qi]
+                m = np.nonzero(np.isin(lid, probe_arrs[qi])
+                               & (vid != exv[qi]))[0]
+                if m.size > kk:
+                    m = m[np.lexsort((vid[m], -cs[m]))[:kk]]
+                out_qi.append(np.full(m.size, qi, dtype=np.int32))
+                out_vid.append(vid[m])
+                out_cs.append(cs[m])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(out_qi), type=pa.int32()),
+                 pa.array(np.concatenate(out_vid), type=pa.int64()),
+                 pa.array(np.concatenate(out_cs), type=pa.float64())],
+                names=["qi", "vec_id", "cos_sim"])
+
+    cut = src.mapInArrow(_score_cut,
+                         schema="qi int, vec_id long, cos_sim double")
+    w = Window.partitionBy("qi").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    qid_arr = F.array(*[F.lit(q) for q in qids])
+    return (
+        cut.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= kk)
+        .select(F.element_at(qid_arr, F.col("qi") + 1).alias("qid"),
+                "vec_id", "cos_sim")
+        .orderBy("qid", F.desc("cos_sim"), F.asc("vec_id"))
+    )
+
+
 def lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_planes: int = 8, seed: int = 42,

@@ -314,3 +314,38 @@ def test_ann_batch_matches_single_path_and_plan(spark):
 
     # empty query set: empty result, stable schema
     assert brute_force_topk_batch(emb, {}, k=5).count() == 0
+
+
+def test_ivf_batch_matches_single_probe_path(spark, tmp_path):
+    """ivf_topk_batch_partitioned: per-qid row identity with the
+    single-query probed path, scan pruned to the UNION of probed lists."""
+    from searchengine_spark.operators.ann import (
+        ivf_topk_batch_partitioned,
+        ivf_topk_partitioned,
+        write_embeddings_ivf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    write_embeddings_ivf(emb, path, n_lists=8)
+
+    seeds = {r["vec_id"]: [float(x) for x in r["embedding"]]
+             for r in emb.filter(F.col("vec_id") < 3).collect()}
+    queries = {f"q{i}": v for i, v in seeds.items()}
+    exclude = {f"q{i}": i for i in seeds}
+
+    batch = ivf_topk_batch_partitioned(spark, path, queries, k=6, nprobe=2,
+                                       exclude=exclude)
+    got = [(r["qid"], r["vec_id"], r["cos_sim"]) for r in batch.collect()]
+    want = []
+    for i, v in sorted(seeds.items()):
+        for r in ivf_topk_partitioned(spark, path, v, k=6, nprobe=2,
+                                      exclude_id=i).collect():
+            want.append((f"q{i}", r["vec_id"], r["cos_sim"]))
+    assert got == want and got
+
+    # the scan is partition-pruned: only the union of probed list_id= dirs
+    plan = _plan(batch)
+    scans = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scans and "list_id" in scans[0]
+    assert "Join" not in plan
