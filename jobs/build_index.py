@@ -43,12 +43,14 @@ def main() -> None:
                     help="also build the positional sidecar (exact phrase "
                          "search without store re-analysis; ~doubles index "
                          "bytes, opt-in)")
-    ap.add_argument("--normalizer", choices=["pinned", "english"],
+    ap.add_argument("--normalizer", choices=["pinned", "english", "porter"],
                     default="pinned",
-                    help="analyzer normal-forms table: 'pinned' fixture "
-                         "table, or 'english' = the built-in irregular-"
-                         "forms dictionary morphology (functions/english."
-                         "py); --forms-json overrides with a custom "
+                    help="analyzer normalizer: 'pinned' fixture table, "
+                         "'english' = the built-in irregular-forms "
+                         "dictionary morphology (functions/english.py), "
+                         "'porter' = the full Porter 1980 stemmer "
+                         "(regular inflections; vocabulary-join build); "
+                         "--forms-json overrides with a custom "
                          "{token: [forms...]} dictionary")
     ap.add_argument("--forms-json", default=None,
                     help="path to a JSON {token: [normal forms...]} "
@@ -66,6 +68,12 @@ def main() -> None:
         from searchengine_spark.functions.english import ENGLISH_FORMS
 
         normalizer, forms = "dict", ENGLISH_FORMS
+    elif args.normalizer == "porter":
+        normalizer = "porter"
+    if args.positions and normalizer not in ("pinned", "dict"):
+        ap.error("--positions requires a table-driven normalizer "
+                 "(pinned/english/--forms-json); phrase search on a "
+                 "stemmed index uses the store-verify path")
 
     from searchengine_spark.corpus import corpus_df, ingest
     from searchengine_spark.session import get_spark

@@ -226,10 +226,10 @@ def build_index(
         normalizer = old_meta.get("normalizer", "pinned")
         if normalizer == "dict":
             _, forms = index_analyzer(spark, out_dir, old_meta)
-    if normalizer not in ("pinned", "dict"):
+    if normalizer not in ("pinned", "dict", "porter", "stem"):
         raise ValueError(
-            "build_index supports table-driven normalizers only "
-            f"('pinned', 'dict'), got {normalizer!r}")
+            "build_index supports normalizer in ('pinned', 'dict', "
+            f"'porter', 'stem'), got {normalizer!r}")
     if normalizer == "dict" and analyzer_impl != "arrow":
         raise ValueError("normalizer='dict' requires analyzer_impl='arrow'")
     if normalizer == "dict" and forms is None:
@@ -320,16 +320,20 @@ def build_index(
         # (row-group pruning against doc_id-sorted store files)
         analyzed = analyzed.filter(seg_ranges_filter(missing, seg_size))
 
-    if analyzer_impl == "arrow":
+    if analyzer_impl == "arrow" and normalizer in ("pinned", "dict"):
         # fused Arrow analyzer: (tf, dl) computed entirely map-side in one
         # mapInPandas (a doc's tokens never leave its partition) — the first
-        # shuffle of the whole build is the salted posting merge itself
+        # shuffle of the whole build is the salted posting merge itself.
+        # Table-driven normalizers only: the stemmers ('porter'/'stem') run
+        # through the tokenize path below (the porter JVM shape is an
+        # O(vocabulary) normalization join, not a per-token table lookup).
         from ..analyzer import doc_term_stats_arrow
 
         stats = doc_term_stats_arrow(analyzed, normalizer=normalizer,
                                      forms=forms)
     else:
-        tf = term_frequencies(analyzed, impl=analyzer_impl)
+        tf = term_frequencies(analyzed, impl=analyzer_impl,
+                              normalizer=normalizer, forms=forms)
         dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
         stats = tf.join(dl, "doc_id")
     # MATERIALIZE stats once (localCheckpoint, not .cache()): both the avgdl

@@ -256,6 +256,11 @@ def build_positions(docs_ingested: DataFrame, index_dir: str,
     from .builder import index_analyzer
 
     norm, forms = index_analyzer(spark, index_dir, meta)
+    if norm not in ("pinned", "dict"):
+        raise ValueError(
+            f"positional sidecar requires a table-driven normalizer "
+            f"('pinned'/'dict'); this index uses {norm!r} — phrase search "
+            "falls back to the store-verify path")
     pos = doc_lemma_positions(docs, normalizer=norm, forms=forms)
     seg_col = (F.col("doc_id") / seg_size).cast("int")
     # salted runs travel as two ALIGNED primitive arrays — one entry per

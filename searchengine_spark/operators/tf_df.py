@@ -21,20 +21,26 @@ from typing import TYPE_CHECKING
 
 from pyspark.sql import functions as F
 
-from ..analyzer import tokenize
-
 if TYPE_CHECKING:
     from pyspark.sql import DataFrame
 
 
 def term_frequencies(docs: DataFrame, text_col: str = "content",
-                     impl: str = "jvm") -> DataFrame:
+                     impl: str = "jvm", normalizer: str = "pinned",
+                     forms: dict[str, tuple[str, ...]] | None = None,
+                     ) -> DataFrame:
     """docs(repo, doc_id, content) -> tf(repo, doc_id, lemma, tf).
 
     ≙ reference ``index_table`` rows (model/IndexTable.java:7-30).
     One shuffle on (repo, doc_id, lemma) with map-side combine.
     """
-    toks = tokenize(docs, text_col=text_col, id_cols=["repo", "doc_id"], impl=impl)
+    from ..analyzer import tokenize_arrow, tokenize_jvm
+
+    if impl not in ("jvm", "arrow"):
+        raise ValueError(f"unknown analyzer impl: {impl!r}")
+    fn = tokenize_jvm if impl == "jvm" else tokenize_arrow
+    toks = fn(docs, text_col=text_col, id_cols=["repo", "doc_id"],
+              normalizer=normalizer, forms=forms)
     return (
         toks.groupBy("repo", "doc_id", "lemma")
         .agg(F.count("*").cast("int").alias("tf"))

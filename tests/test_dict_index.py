@@ -167,7 +167,7 @@ def test_validation_errors(spark, tmp_path):
                     analyzer_impl="jvm")
     with pytest.raises(ValueError, match="normalizer"):
         build_index(docs, str(tmp_path / "x3"), resume=False,
-                    normalizer="porter")
+                    normalizer="lancaster")
 
 
 def test_pinned_default_unchanged(spark, tmp_path):
@@ -185,3 +185,36 @@ def test_pinned_default_unchanged(spark, tmp_path):
     assert got == [0]
     # and the query analyzer agrees with the plain pinned analyze()
     assert analyze("went gone goes") == ["went", "gone", "goes"]
+
+
+def test_porter_index_end_to_end(spark, tmp_path):
+    """normalizer='porter' on the physical path: regular inflections meet
+    at the stem on both sides (build via the O(vocabulary) normalization
+    join, queries stemmed by index_analyzer), and the positional sidecar
+    refuses a stemmer index (store-verify is the phrase path there)."""
+    from searchengine_spark.index.positions import build_positions
+
+    rows = [
+        ("org/a", "s/a.py", "c1", "py",
+         "the connection pools were connected early"),
+        ("org/a", "s/b.py", "c1", "py",
+         "connecting slowly still counts as progress"),
+        ("org/b", "s/c.py", "c1", "py",
+         "unrelated filler text without that term"),
+    ]
+    docs = ingest(spark.createDataFrame(rows, DOCS_SCHEMA))
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx, n_segments=2, salt=2, n_buckets=4, resume=False,
+                normalizer="porter", analyzer_impl="jvm")
+    with open(f"{idx}/meta.json") as fh:
+        assert json.load(fh)["normalizer"] == "porter"
+    assert index_analyzer(spark, idx) == ("porter", None)
+    # connection / connected / connecting all stem to 'connect'
+    for q in ("connection", "connected", "connecting"):
+        got = sorted(r["doc_id"]
+                     for r in bm25_topk(spark, idx, q, 10).collect())
+        assert got == [0, 1], q
+    eng = QueryEngine(spark, idx)
+    assert sorted(d for d, _ in eng.topk_rows("connecting", 10)) == [0, 1]
+    with pytest.raises(ValueError, match="table-driven"):
+        build_positions(docs, idx)
