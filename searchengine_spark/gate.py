@@ -1186,6 +1186,60 @@ FROM documents
 """
 
 
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic STRATIFIED sampling: 30% baseline, keep all of 'zh',
+    5% of 'en' — md5-prefix-vs-hex-threshold predicate, so the exact same
+    rows survive in Spark and DuckDB (reproducible subsampling is the
+    pipeline contract)."""
+    from .operators.pipeline import sample_corpus
+
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        sample_corpus(docs, 0.3, by="lang",
+                      fractions={"zh": 1.0, "en": 0.05})
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def _sample_sql() -> str:
+    from .operators.pipeline import hex_threshold
+
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE substr(md5('s42' || doc_id::VARCHAR), 1, 8) <
+      CASE WHEN lang = 'zh' THEN '{hex_threshold(1.0)}'
+           WHEN lang = 'en' THEN '{hex_threshold(0.05)}'
+           ELSE '{hex_threshold(0.3)}' END
+ORDER BY doc_id
+"""
+
+
+SQL_CORPUS_SAMPLE = _sample_sql()
+
+
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: contiguous 5000-token shards over the
+    id order (the unit a trainer streams)."""
+    from .operators.pipeline import pack_shards
+
+    docs = _load(spark, sf_dir, "documents")
+    return pack_shards(docs, budget_tokens=5000).orderBy("doc_id")
+
+
+SQL_PACK_SHARDS = """
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))::BIGINT AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                   - n_tokens) / 5000.0) AS BIGINT) AS shard
+FROM t ORDER BY doc_id
+"""
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition filter: duplicated-3-gram fraction over
     the raw text AND over the text doubled with itself (planting a
@@ -1583,6 +1637,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "repetition_ratio": q_repetition,
     "pii_scrub": q_pii_scrub,
+    "corpus_sample": q_corpus_sample,
+    "pack_shards": q_pack_shards,
     "clean_corpus": q_clean_corpus,
     "set_intersect": q_set_intersect,
     "set_union_distinct": q_set_union_distinct,
@@ -1622,6 +1678,8 @@ ORACLE: dict[str, str] = {
     "fingerprint": SQL_FINGERPRINT,
     "repetition_ratio": SQL_REPETITION,
     "pii_scrub": SQL_PII_SCRUB,
+    "corpus_sample": SQL_CORPUS_SAMPLE,
+    "pack_shards": SQL_PACK_SHARDS,
     "clean_corpus": SQL_CLEAN_CORPUS,
     "set_intersect": SQL_SET_INTERSECT,
     "set_union_distinct": SQL_SET_UNION,

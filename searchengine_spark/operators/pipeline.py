@@ -95,3 +95,62 @@ def clean_corpus_rows(docs: DataFrame, text_col: str = "text",
         .select(F.col("keep_id").alias(id_col))
     )
     return docs.join(keep_ids, id_col, "left_semi").select(*docs.columns)
+
+
+def hex_threshold(fraction: float) -> str:
+    """``fraction`` as an 8-hex-digit cut point over the md5-prefix space:
+    a row survives iff its md5 prefix sorts BELOW this literal.  Computed
+    driver-side so BOTH engines (Spark and the DuckDB oracle) compare the
+    same lowercase-hex strings lexicographically — lexicographic order on
+    fixed-width lowercase hex IS numeric order, and no engine needs a
+    hex-to-int primitive."""
+    return format(min(int(fraction * (1 << 32)), (1 << 32) - 1), "08x")
+
+
+def sample_corpus(docs: DataFrame, fraction: float,
+                  id_col: str = "doc_id", salt: str = "s42",
+                  by: str | None = None,
+                  fractions: dict[str, float] | None = None) -> DataFrame:
+    """Deterministic, engine-portable corpus (sub)sampling: keep rows whose
+    md5(salt || id) 8-hex prefix falls under :func:`hex_threshold`
+    (``fraction``) — or, with ``by`` + ``fractions``, under that row's
+    GROUP threshold (stratified sampling: keep 100% of rare languages, 5%
+    of the dominant one).  Reproducibility is the contract: rerunning a
+    100 TB sample yields the SAME corpus on any engine with md5.  A plain
+    map-side filter — no shuffle, no RNG state."""
+    mark = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8)
+    if by is None:
+        return docs.filter(mark < hex_threshold(fraction))
+    thr = F.lit(hex_threshold(fraction))
+    for key, f in sorted((fractions or {}).items()):
+        thr = F.when(F.col(by) == key,
+                     hex_threshold(f)).otherwise(thr)
+    return docs.filter(mark < thr)
+
+
+def pack_shards(docs: DataFrame, budget_tokens: int,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Assign each doc to a contiguous token-budget shard: docs are laid
+    out in ``id_col`` order and cut every ``budget_tokens`` tokens —
+    (id, n_tokens, shard).  The training-data packing step: shard K is
+    the unit a trainer streams.
+
+    Shape: one window cumulative sum over the deterministic id order.
+    The single global window is the honest cost of a GLOBAL contiguous
+    packing (any engine must serialize the running total); at 100 TB one
+    packs per partition-sized key instead — pass a pre-bucketed id range
+    per job, the operator itself stays the same."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
+    nt = token_count(F.col(text_col))
+    return (
+        docs.select(id_col, nt.alias("n_tokens"))
+        .withColumn("_cum", F.sum("n_tokens").over(w))
+        .select(
+            id_col, "n_tokens",
+            F.floor((F.col("_cum") - F.col("n_tokens"))
+                    / F.lit(int(budget_tokens))).cast("long").alias("shard"),
+        )
+    )

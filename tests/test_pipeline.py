@@ -105,3 +105,44 @@ def test_pii_mask_and_counts(spark):
     assert out[1]["m"] == "mail <EMAIL> or visit <URL> now"
     assert out[2]["ne"] == 0 and out[2]["nu"] == 0
     assert out[2]["m"] == "no pii here"
+
+
+def test_sample_corpus_deterministic_and_stratified(spark):
+    from searchengine_spark.operators.pipeline import sample_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = {r["doc_id"] for r in sample_corpus(docs, 0.3).select("doc_id").collect()}
+    b = {r["doc_id"] for r in sample_corpus(docs, 0.3).select("doc_id").collect()}
+    assert a == b and a  # identical rows on rerun — the whole contract
+    n = docs.count()
+    assert 0.2 < len(a) / n < 0.4  # ~30%
+    # stratified: zh kept whole, en cut hard
+    s = sample_corpus(docs, 0.3, by="lang", fractions={"zh": 1.0, "en": 0.05})
+    got = {r["lang"]: r["n"] for r in
+           s.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    tot = {r["lang"]: r["n"] for r in
+           docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got["zh"] == tot["zh"]
+    assert got.get("en", 0) < 0.15 * tot["en"]
+    # a different salt is a different (still deterministic) sample
+    c = {r["doc_id"] for r in
+         sample_corpus(docs, 0.3, salt="other").select("doc_id").collect()}
+    assert c != a
+
+
+def test_pack_shards_budget_invariant(spark):
+    from searchengine_spark.operators.pipeline import pack_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = pack_shards(docs, budget_tokens=3000).orderBy("doc_id").collect()
+    assert len(rows) == docs.count()
+    # shards are contiguous, start at 0, and never skip
+    shards = [r["shard"] for r in rows]
+    assert shards[0] == 0 and shards == sorted(shards)
+    assert set(shards) == set(range(max(shards) + 1))
+    # a shard's PRECEDING total stays under budget (each doc starts in the
+    # shard its cumulative start position falls in)
+    cum = 0
+    for r in rows:
+        assert r["shard"] == cum // 3000
+        cum += r["n_tokens"]
