@@ -1552,6 +1552,39 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sessionize_stream(spark, f"{tmp}/src", f"{tmp}/ckpt")
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state
+    (``dropDuplicatesWithinWatermark``): the events table is replayed as 3
+    time-ordered micro-batches where every batch is prefixed with a
+    redelivery of the previous slice's tail (the at-least-once failure
+    mode), and the deduped stream must equal the duplicate-free base
+    table exactly — stream == batch distinct == SQL."""
+    import tempfile
+
+    from .streaming.dedup import run_dedup_stream, stage_with_duplicates
+
+    tmp = tempfile.mkdtemp(prefix="se_spark_dedup_stream_")
+    stage_with_duplicates(f"{sf_dir}/events.parquet", f"{tmp}/src",
+                          n_slices=3)
+    out = run_dedup_stream(spark, f"{tmp}/src", f"{tmp}/ckpt")
+    return (
+        out.select(
+            "event_id", "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "event_type",
+            F.round("value", 4).alias("value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+SQL_STREAM_DEDUP = """
+SELECT event_id, user_id, epoch_us(ts)::BIGINT AS ts_us, event_type,
+       round(value, 4) AS value
+FROM events ORDER BY event_id
+"""
+
+
 SQL_SESSIONIZE = f"""
 WITH g AS (
   SELECT user_id, event_id, ts, value,
@@ -1649,6 +1682,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_dedup_lsh": q_embed_dedup_lsh,
     "sessionize_events": q_sessionize,
     "sessionize_stream": q_sessionize_stream,
+    "stream_dedup": q_stream_dedup,
 }
 
 ORACLE: dict[str, str] = {
@@ -1701,4 +1735,5 @@ ORACLE: dict[str, str] = {
     "ann_batch_topk": SQL_ANN_BATCH,
     "embed_dedup_lsh": SQL_EMBED_DEDUP_LSH,
     "events_hourly_window": SQL_EVENTS_HOURLY,
+    "stream_dedup": SQL_STREAM_DEDUP,
 }
