@@ -494,10 +494,6 @@ def ivf_topk_batch_partitioned(spark, path: str,
     transfer are shared.  Merge shuffle carries O(batches x Q x k)."""
     import json as _json
 
-    import numpy as np
-    import pyarrow as pa
-    from pyspark.sql import Window
-
     qids = sorted(queries)
     out_ddl = "qid string, vec_id long, cos_sim double"
     if not qids:
@@ -508,18 +504,67 @@ def ivf_topk_batch_partitioned(spark, path: str,
     probe_of = {q: _ivf_probes(queries[q], centroids, nprobe) for q in qids}
     union = sorted({p for ps in probe_of.values() for p in ps})
 
+    src = read_embeddings_ivf_probed(spark, path, union).select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+        F.col("list_id").cast("long").alias("part"),
+    )
+    return _masked_batch_topk(src, queries, qids, probe_of, k, exclude)
+
+
+def lsh_topk_batch_bucketed(spark, path: str,
+                            queries: dict[str, list[float]],
+                            k: int = 10, n_probes: int = 1,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            exclude: dict[str, int] | None = None,
+                            ) -> DataFrame:
+    """Whole-batch ANN over a :func:`write_embeddings_bucketed` table —
+    the LSH twin of :func:`ivf_topk_batch_partitioned`: one scan pruned to
+    the union of every query's probe buckets, per-query bucket masks
+    inside the shared matmul.  Per qid row-identical to
+    :func:`lsh_topk_bucketed` (parity-tested)."""
+    import json as _json
+
+    qids = sorted(queries)
+    if not qids:
+        return spark.createDataFrame([], "qid string, vec_id long, "
+                                         "cos_sim double")
+    with open(f"{path}/_lsh_meta.json") as fh:
+        meta = _json.load(fh)
+    planes = meta["planes"]
+    for q in qids:
+        if len(queries[q]) != meta["dim"]:
+            raise ValueError(
+                f"query dim {len(queries[q])} != table dim {meta['dim']}")
+    probe_of = {q: probe_buckets(queries[q], planes, n_probes) for q in qids}
+    union = sorted({p for ps in probe_of.values() for p in ps})
+    src = read_embeddings_probed(spark, path, union).select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+        F.col("bucket").cast("long").alias("part"),
+    )
+    return _masked_batch_topk(src, queries, qids, probe_of, k, exclude)
+
+
+def _masked_batch_topk(src: DataFrame, queries: dict[str, list[float]],
+                       qids: list[str], probe_of: dict[str, list[int]],
+                       k: int, exclude: dict[str, int] | None) -> DataFrame:
+    """Shared masked-batch kernel over (vec_id, e, part) rows: one matmul
+    per Arrow batch scores ALL queries, each query's column is masked to
+    its own ``part`` probe set (+ self-exclusion) before the per-batch
+    top-k cut, and a tiny per-qid window merges the cuts.  Rounding is
+    HALF_UP at 4 dp BEFORE the cut (the engine-portable frontier)."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import Window
+
     ex = exclude or {}
     qm = np.asarray([queries[q] for q in qids], dtype=np.float64)
     qn = (qm / np.linalg.norm(qm, axis=1, keepdims=True)).T
     exv = np.asarray([ex.get(q, -1) for q in qids], dtype=np.int64)
     probe_arrs = [np.asarray(probe_of[q], dtype=np.int64) for q in qids]
     kk = int(k)
-
-    src = read_embeddings_ivf_probed(spark, path, union).select(
-        F.col(id_col).cast("long").alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("e"),
-        F.col("list_id").cast("long").alias("list_id"),
-    )
 
     def _score_cut(batches):
         for b in batches:

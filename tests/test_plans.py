@@ -349,3 +349,37 @@ def test_ivf_batch_matches_single_probe_path(spark, tmp_path):
     scans = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert scans and "list_id" in scans[0]
     assert "Join" not in plan
+
+
+def test_lsh_batch_matches_single_probe_path(spark, tmp_path):
+    """lsh_topk_batch_bucketed: per-qid row identity with the single-query
+    bucketed probe, scan pruned to the union of probe buckets."""
+    from searchengine_spark.operators.ann import (
+        lsh_topk_batch_bucketed,
+        lsh_topk_bucketed,
+        write_embeddings_bucketed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    path = str(tmp_path / "lsh")
+    write_embeddings_bucketed(emb, path, n_planes=5)
+
+    seeds = {r["vec_id"]: [float(x) for x in r["embedding"]]
+             for r in emb.filter(F.col("vec_id") < 3).collect()}
+    queries = {f"q{i}": v for i, v in seeds.items()}
+    exclude = {f"q{i}": i for i in seeds}
+
+    batch = lsh_topk_batch_bucketed(spark, path, queries, k=5, n_probes=2,
+                                    exclude=exclude)
+    got = [(r["qid"], r["vec_id"], r["cos_sim"]) for r in batch.collect()]
+    want = []
+    for i, v in sorted(seeds.items()):
+        for r in lsh_topk_bucketed(spark, path, v, k=5, n_probes=2,
+                                   exclude_id=i).collect():
+            want.append((f"q{i}", r["vec_id"], r["cos_sim"]))
+    assert got == want and got
+
+    plan = _plan(batch)
+    scans = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scans and "bucket" in scans[0]
+    assert "Join" not in plan
