@@ -1240,6 +1240,46 @@ FROM t ORDER BY doc_id
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: docs sharing ANY word 8-gram with the
+    pinned benchmark slice (doc_id % 97 == 3) are dropped — benchmark
+    grams broadcast, corpus grams explode map-side into a semi-join."""
+    from .operators.pipeline import decontaminate
+
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 3)
+    return (decontaminate(docs, bench, n=8)
+            .select("doc_id").orderBy("doc_id"))
+
+
+SQL_DECONTAMINATE = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 8 THEN
+           list_transform(generate_series(1, len(tk) - 7),
+                          i -> array_to_string(tk[i:i+7], ' '))
+         ELSE []::VARCHAR[] END AS g8
+  FROM tok
+),
+bg AS (
+  SELECT DISTINCT unnest(g8) AS gram FROM g WHERE doc_id % 97 = 3
+),
+bad AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(g8) AS gram FROM g) x
+  WHERE gram IN (SELECT gram FROM bg)
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+ORDER BY doc_id
+"""
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition filter: duplicated-3-gram fraction over
     the raw text AND over the text doubled with itself (planting a
@@ -1672,6 +1712,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "corpus_sample": q_corpus_sample,
     "pack_shards": q_pack_shards,
+    "decontaminate": q_decontaminate,
     "clean_corpus": q_clean_corpus,
     "set_intersect": q_set_intersect,
     "set_union_distinct": q_set_union_distinct,
@@ -1714,6 +1755,7 @@ ORACLE: dict[str, str] = {
     "pii_scrub": SQL_PII_SCRUB,
     "corpus_sample": SQL_CORPUS_SAMPLE,
     "pack_shards": SQL_PACK_SHARDS,
+    "decontaminate": SQL_DECONTAMINATE,
     "clean_corpus": SQL_CLEAN_CORPUS,
     "set_intersect": SQL_SET_INTERSECT,
     "set_union_distinct": SQL_SET_UNION,

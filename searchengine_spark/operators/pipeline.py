@@ -154,3 +154,43 @@ def pack_shards(docs: DataFrame, budget_tokens: int,
                     / F.lit(int(budget_tokens))).cast("long").alias("shard"),
         )
     )
+
+
+def benchmark_ngrams(bench: DataFrame, n: int = 8,
+                     text_col: str = "text") -> DataFrame:
+    """Distinct word n-grams of a benchmark/eval set — the contamination
+    probe list.  Benchmarks are tiny next to a training corpus, so this
+    side is broadcastable by construction."""
+    from ..functions.text import word_ngrams
+
+    return (
+        bench.select(F.explode(word_ngrams(F.col(text_col), n))
+                     .alias("gram"))
+        .distinct()
+    )
+
+
+def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str | None = None) -> DataFrame:
+    """Drop every training doc sharing ANY word ``n``-gram with the
+    benchmark set (the eval-decontamination step every serious training
+    pipeline runs before the corpus ships).
+
+    100 TB shape: the benchmark gram list is distinct-ed and BROADCAST
+    (forced — it is bounded by the benchmark's size, not the corpus);
+    corpus grams explode map-side and meet it in a broadcast semi-join,
+    so the corpus is scanned once and only contaminated ids (a small set)
+    ever aggregate.  The survivors come back full-width via anti-join on
+    ids — the wide content column never shuffles."""
+    from ..functions.text import word_ngrams
+
+    grams = benchmark_ngrams(bench, n, bench_text_col or text_col)
+    contaminated = (
+        docs.select(id_col, F.explode(word_ngrams(F.col(text_col), n))
+                    .alias("gram"))
+        .join(F.broadcast(grams), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(contaminated, id_col, "left_anti")

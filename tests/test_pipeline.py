@@ -146,3 +146,24 @@ def test_pack_shards_budget_invariant(spark):
     for r in rows:
         assert r["shard"] == cum // 3000
         cum += r["n_tokens"]
+
+
+def test_decontaminate_planted_overlap(spark):
+    """A doc copying an 8-gram from the benchmark is dropped; unrelated
+    docs and sub-8-token docs survive; the gram join is a broadcast."""
+    from searchengine_spark.operators.pipeline import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "prefix words alpha beta gamma delta epsilon zeta eta theta "
+             "suffix"),                                   # copies an 8-gram
+         (2, "alpha beta gamma delta epsilon zeta eta"),  # only 7 shared
+         (3, "completely unrelated content of honest provenance here"),
+         (4, "tiny doc")],
+        "doc_id long, text string")
+    out = decontaminate(docs, bench, n=8)
+    assert sorted(r["doc_id"] for r in out.collect()) == [2, 3, 4]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
