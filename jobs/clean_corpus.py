@@ -33,6 +33,19 @@ def main() -> None:
     ap.add_argument("--keep-lang", default="any",
                     help="'en' gates on the stopword lang-id; 'any' (default"
                          " — source code has no English stopwords) skips it")
+    ap.add_argument("--max-repetition", type=float, default=None,
+                    help="drop docs whose duplicated-3-gram fraction "
+                         "exceeds this (boilerplate/looped-generation "
+                         "filter)")
+    ap.add_argument("--mask-pii", action="store_true",
+                    help="redact emails/URLs in the surviving content "
+                         "(<EMAIL>/<URL>; URLs masked first)")
+    ap.add_argument("--sample", type=float, default=None,
+                    help="deterministic md5-threshold subsample fraction "
+                         "applied AFTER cleaning (same rows on any rerun)")
+    ap.add_argument("--decontaminate-from", default=None,
+                    help="parquet dir of benchmark texts (content column): "
+                         "drop survivors sharing any word 8-gram with it")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 
@@ -77,15 +90,46 @@ def main() -> None:
     ).collect()[0].asDict()
 
     cleaned = P.clean_corpus_rows(docs, **kw)
+    stage_counts: dict[str, int] = {}
+    extra_stages = (args.max_repetition is not None or args.sample is not None
+                    or args.decontaminate_from)
+    if extra_stages:
+        # per-stage funnel (each count is a narrow scan of the shrinking
+        # survivor set — stats belong in a stats-printing job)
+        stage_counts["n_post_dedup"] = cleaned.count()
+    if args.max_repetition is not None:
+        from searchengine_spark.functions.text import repetition_ratio
+
+        cleaned = cleaned.filter(
+            repetition_ratio(F.col("content")) <= args.max_repetition)
+        stage_counts["n_post_repetition"] = cleaned.count()
+    if args.decontaminate_from:
+        bench = spark.read.parquet(args.decontaminate_from)
+        cleaned = P.decontaminate(cleaned, bench, n=8, text_col="content",
+                                  id_col="doc_id")
+        stage_counts["n_post_decontaminate"] = cleaned.count()
+    if args.sample is not None:
+        cleaned = P.sample_corpus(cleaned, args.sample, id_col="doc_id")
+    if args.mask_pii:
+        from searchengine_spark.functions.text import mask_pii
+
+        # re-hash after redaction: the output must keep the per-row
+        # sha256(content) invariant build_index enforces
+        cleaned = (
+            cleaned.withColumn("content", mask_pii(F.col("content")))
+            .withColumn("sha256", F.sha2(F.col("content"), 256))
+        )
     cleaned.write.mode("overwrite").partitionBy("repo").parquet(args.out)
     n_out = spark.read.parquet(args.out).count()
     dt = time.perf_counter() - t0
 
     funnel = {k: int(v or 0) for k, v in funnel.items()}
+    n_dedup = stage_counts.get("n_post_dedup", n_out)
     print(json.dumps({
         **funnel,
+        **stage_counts,
         "n_out": n_out,
-        "dups_removed": funnel["n_kept_pre_dedup"] - n_out,
+        "dups_removed": funnel["n_kept_pre_dedup"] - n_dedup,
         "pct_kept": round(100.0 * n_out / max(funnel["n_in"], 1), 2),
         "seconds": round(dt, 2),
         "out": args.out,
