@@ -94,19 +94,23 @@ def main() -> None:
     extra_stages = (args.max_repetition is not None or args.sample is not None
                     or args.decontaminate_from)
     if extra_stages:
-        # per-stage funnel (each count is a narrow scan of the shrinking
-        # survivor set — stats belong in a stats-printing job)
+        # per-stage funnel: materialize each counted stage ONCE
+        # (localCheckpoint — the repo's eager-materialization discipline)
+        # so a later stage's count and the final write never re-execute the
+        # upstream dedup join / decontaminate explode
+        cleaned = cleaned.localCheckpoint()
         stage_counts["n_post_dedup"] = cleaned.count()
     if args.max_repetition is not None:
         from searchengine_spark.functions.text import repetition_ratio
 
         cleaned = cleaned.filter(
-            repetition_ratio(F.col("content")) <= args.max_repetition)
+            repetition_ratio(F.col("content")) <= args.max_repetition
+        ).localCheckpoint()
         stage_counts["n_post_repetition"] = cleaned.count()
     if args.decontaminate_from:
         bench = spark.read.parquet(args.decontaminate_from)
         cleaned = P.decontaminate(cleaned, bench, n=8, text_col="content",
-                                  id_col="doc_id")
+                                  id_col="doc_id").localCheckpoint()
         stage_counts["n_post_decontaminate"] = cleaned.count()
     if args.sample is not None:
         cleaned = P.sample_corpus(cleaned, args.sample, id_col="doc_id")

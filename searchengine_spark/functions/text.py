@@ -137,7 +137,7 @@ def url_count(text_col: Column) -> Column:
 
 def mask_pii(text_col: Column) -> Column:
     """Replace every email with ``<EMAIL>`` and every URL with ``<URL>``
-    (emails first — an email inside a URL's query string masks as part of
-    the URL, pinned by the application order)."""
+    (URLs FIRST — pinned order, so an email inside a URL's query string
+    disappears as part of the ``<URL>`` mask rather than splitting it)."""
     return F.regexp_replace(
         F.regexp_replace(text_col, URL_RE, "<URL>"), EMAIL_RE, "<EMAIL>")

@@ -234,6 +234,22 @@ def build_index(
         raise ValueError("normalizer='dict' requires analyzer_impl='arrow'")
     if normalizer == "dict" and forms is None:
         raise ValueError("normalizer='dict' needs a forms mapping")
+    if normalizer == "dict" and old_meta is None:
+        # validate user dictionaries ONCE, before the expensive build: a
+        # duplicate form in a value tuple would crash the positional
+        # sidecar deep inside an executor (strictly-increasing delta
+        # assert), and uppercase keys are silently dead (the analyzer
+        # lowercases before lookup)
+        for key, vals in forms.items():
+            if not vals:
+                raise ValueError(f"forms[{key!r}] is empty")
+            if len(set(vals)) != len(vals):
+                raise ValueError(f"forms[{key!r}] has duplicate forms: "
+                                 f"{tuple(vals)}")
+            if key != key.lower():
+                raise ValueError(
+                    f"forms key {key!r} is not lowercase — the analyzer "
+                    "lowercases tokens before lookup, so it can never fire")
 
     # n_docs (the BM25 idf/avgdl base) is the ROW count; the segment span
     # derives from max(doc_id)+1 — they differ once deletes leave id holes

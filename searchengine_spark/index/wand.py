@@ -447,7 +447,12 @@ class QueryEngine:
         # byte discipline; estimates use the sidecar's measured
         # pos_bytes_per_posting — a form's positional df equals its index
         # df, so the main dictionary prices both fetches)
-        self._pos_bpp = self.meta.get("pos_bytes_per_posting")
+        # fallback mirrors _bpp's: a sidecar built before the stats existed
+        # must still ESTIMATE (conservatively) rather than skip the guard —
+        # skipping would collect a common form's full positional stream to
+        # the driver unguarded, the exact OOM the estimate exists to stop
+        self._pos_bpp = float(
+            self.meta.get("pos_bytes_per_posting") or 16.0)
         self._pos_bytes: int | None = self.meta.get("pos_posting_bytes")
         self._pos_cache: OrderedDict[str, list] = OrderedDict()
         self._pos_nb: dict[str, int] = {}
@@ -699,8 +704,7 @@ class QueryEngine:
             if t in self._pos_cache:
                 self._pos_cache.move_to_end(t)
         if fetch:
-            if self._pos_bpp is not None and (
-                    self._pos_bytes is None
+            if (self._pos_bytes is None
                     or self._pos_bytes > local_threshold_bytes):
                 gdf = self._gdf_for(forms)
                 if gdf is not None:
@@ -803,7 +807,7 @@ class QueryEngine:
                         self._pos_cache.move_to_end(t)
                     else:
                         pfetch.append(t)
-                if pfetch and self._pos_bpp is not None and (
+                if pfetch and (
                         self._pos_bytes is None
                         or self._pos_bytes > local_threshold_bytes):
                     gdf = self._gdf_for(pfetch)

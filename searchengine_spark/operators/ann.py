@@ -78,63 +78,14 @@ def brute_force_topk_batch(emb: DataFrame, queries: dict[str, list[float]],
     top-k.  Rounding to 4 dp (HALF_UP, matching ``F.round``/DuckDB)
     happens BEFORE the cut so the frontier is deterministic across
     engines.  ``exclude`` maps qid -> a vec_id to drop (self-match)."""
-    import numpy as np
-    import pyarrow as pa
-    from pyspark.sql import Window
-
     qids = sorted(queries)
     spark = emb.sparkSession
     out_ddl = "qid string, vec_id long, cos_sim double"
     if not qids:
         return spark.createDataFrame([], out_ddl)
-    ex = exclude or {}
-    qm = np.asarray([queries[q] for q in qids], dtype=np.float64)
-    qn = (qm / np.linalg.norm(qm, axis=1, keepdims=True)).T  # dim x Q
-    exv = np.asarray([ex.get(q, -1) for q in qids], dtype=np.int64)
-    kk = int(k)
-
     src = emb.select(F.col(id_col).cast("long").alias("vec_id"),
                      F.col(vec_col).cast("array<double>").alias("e"))
-
-    def _score_cut(batches):
-        for b in batches:
-            la = b.column(1)
-            n = len(la)
-            if n == 0:
-                continue
-            vid = b.column(0).to_numpy(zero_copy_only=False)
-            flat = la.flatten().to_numpy(zero_copy_only=False)
-            mat = flat.reshape(n, flat.size // n)
-            sims = (mat @ qn) / np.sqrt((mat * mat).sum(axis=1))[:, None]
-            # HALF_UP at 4 dp, the F.round/DuckDB rule (np.round is
-            # half-to-even — a different frontier on exact .00005 ties)
-            sims = np.sign(sims) * np.floor(np.abs(sims) * 1e4 + 0.5) / 1e4
-            out_qi, out_vid, out_cs = [], [], []
-            for qi in range(len(qids)):
-                cs = sims[:, qi]
-                m = np.nonzero(vid != exv[qi])[0]
-                if m.size > kk:
-                    m = m[np.lexsort((vid[m], -cs[m]))[:kk]]
-                out_qi.append(np.full(m.size, qi, dtype=np.int32))
-                out_vid.append(vid[m])
-                out_cs.append(cs[m])
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(np.concatenate(out_qi), type=pa.int32()),
-                 pa.array(np.concatenate(out_vid), type=pa.int64()),
-                 pa.array(np.concatenate(out_cs), type=pa.float64())],
-                names=["qi", "vec_id", "cos_sim"])
-
-    cut = src.mapInArrow(_score_cut,
-                         schema="qi int, vec_id long, cos_sim double")
-    w = Window.partitionBy("qi").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    qid_arr = F.array(*[F.lit(q) for q in qids])
-    return (
-        cut.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= kk)
-        .select(F.element_at(qid_arr, F.col("qi") + 1).alias("qid"),
-                "vec_id", "cos_sim")
-        .orderBy("qid", F.desc("cos_sim"), F.asc("vec_id"))
-    )
+    return _masked_batch_topk(src, queries, qids, None, k, exclude)
 
 
 def cosine_pairs_exact(emb: DataFrame, threshold: float = 0.95,
@@ -501,6 +452,11 @@ def ivf_topk_batch_partitioned(spark, path: str,
     with open(f"{path}/_ivf_meta.json") as fh:
         meta = _json.load(fh)
     centroids = [(int(c), [float(x) for x in v]) for c, v in meta["centroids"]]
+    dim = len(centroids[0][1])
+    for q in qids:
+        if len(queries[q]) != dim:
+            raise ValueError(
+                f"query dim {len(queries[q])} != table dim {dim}")
     probe_of = {q: _ivf_probes(queries[q], centroids, nprobe) for q in qids}
     union = sorted({p for ps in probe_of.values() for p in ps})
 
@@ -548,13 +504,17 @@ def lsh_topk_batch_bucketed(spark, path: str,
 
 
 def _masked_batch_topk(src: DataFrame, queries: dict[str, list[float]],
-                       qids: list[str], probe_of: dict[str, list[int]],
+                       qids: list[str],
+                       probe_of: dict[str, list[int]] | None,
                        k: int, exclude: dict[str, int] | None) -> DataFrame:
-    """Shared masked-batch kernel over (vec_id, e, part) rows: one matmul
-    per Arrow batch scores ALL queries, each query's column is masked to
-    its own ``part`` probe set (+ self-exclusion) before the per-batch
-    top-k cut, and a tiny per-qid window merges the cuts.  Rounding is
-    HALF_UP at 4 dp BEFORE the cut (the engine-portable frontier)."""
+    """Shared batch kernel over (vec_id, e[, part]) rows: one matmul per
+    Arrow batch scores ALL queries; with ``probe_of`` each query's column
+    is additionally masked to its own ``part`` probe set (+ always the
+    self-exclusion) before the per-batch top-k cut, and a tiny per-qid
+    window merges the cuts.  Rounding is HALF_UP at 4 dp BEFORE the cut
+    (the engine-portable frontier) — this is the ONE copy of the
+    parity-critical score/round/cut/merge logic for all three batch-ANN
+    entry points."""
     import numpy as np
     import pyarrow as pa
     from pyspark.sql import Window
@@ -563,7 +523,8 @@ def _masked_batch_topk(src: DataFrame, queries: dict[str, list[float]],
     qm = np.asarray([queries[q] for q in qids], dtype=np.float64)
     qn = (qm / np.linalg.norm(qm, axis=1, keepdims=True)).T
     exv = np.asarray([ex.get(q, -1) for q in qids], dtype=np.int64)
-    probe_arrs = [np.asarray(probe_of[q], dtype=np.int64) for q in qids]
+    probe_arrs = (None if probe_of is None else
+                  [np.asarray(probe_of[q], dtype=np.int64) for q in qids])
     kk = int(k)
 
     def _score_cut(batches):
@@ -573,7 +534,8 @@ def _masked_batch_topk(src: DataFrame, queries: dict[str, list[float]],
             if n == 0:
                 continue
             vid = b.column(0).to_numpy(zero_copy_only=False)
-            lid = b.column(2).to_numpy(zero_copy_only=False)
+            lid = (b.column(2).to_numpy(zero_copy_only=False)
+                   if probe_arrs is not None else None)
             flat = la.flatten().to_numpy(zero_copy_only=False)
             mat = flat.reshape(n, flat.size // n)
             sims = (mat @ qn) / np.sqrt((mat * mat).sum(axis=1))[:, None]
@@ -581,8 +543,10 @@ def _masked_batch_topk(src: DataFrame, queries: dict[str, list[float]],
             out_qi, out_vid, out_cs = [], [], []
             for qi in range(len(qids)):
                 cs = sims[:, qi]
-                m = np.nonzero(np.isin(lid, probe_arrs[qi])
-                               & (vid != exv[qi]))[0]
+                keep = vid != exv[qi]
+                if probe_arrs is not None:
+                    keep &= np.isin(lid, probe_arrs[qi])
+                m = np.nonzero(keep)[0]
                 if m.size > kk:
                     m = m[np.lexsort((vid[m], -cs[m]))[:kk]]
                 out_qi.append(np.full(m.size, qi, dtype=np.int32))

@@ -98,13 +98,18 @@ def clean_corpus_rows(docs: DataFrame, text_col: str = "text",
 
 
 def hex_threshold(fraction: float) -> str:
-    """``fraction`` as an 8-hex-digit cut point over the md5-prefix space:
-    a row survives iff its md5 prefix sorts BELOW this literal.  Computed
+    """``fraction`` as a cut point over the md5-prefix space: a row
+    survives iff its 8-hex md5 prefix sorts BELOW this literal.  Computed
     driver-side so BOTH engines (Spark and the DuckDB oracle) compare the
     same lowercase-hex strings lexicographically — lexicographic order on
     fixed-width lowercase hex IS numeric order, and no engine needs a
-    hex-to-int primitive."""
-    return format(min(int(fraction * (1 << 32)), (1 << 32) - 1), "08x")
+    hex-to-int primitive.  ``fraction >= 1`` returns ``'g'`` (sorts above
+    every hex string) so a keep-everything stratum really keeps EVERY row
+    — an 'ffffffff' cap would drop a prefix-all-f row, one-in-2^32 but a
+    real row at corpus scale."""
+    if fraction >= 1.0:
+        return "g"
+    return format(int(fraction * (1 << 32)), "08x")
 
 
 def sample_corpus(docs: DataFrame, fraction: float,
