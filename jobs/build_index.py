@@ -43,14 +43,17 @@ def main() -> None:
                     help="also build the positional sidecar (exact phrase "
                          "search without store re-analysis; ~doubles index "
                          "bytes, opt-in)")
-    ap.add_argument("--normalizer", choices=["pinned", "english", "porter"],
+    ap.add_argument("--normalizer",
+                    choices=["pinned", "english", "porter", "english-porter"],
                     default="pinned",
-                    help="analyzer normalizer: 'pinned' fixture table, "
+                    help="analyzer normalizer: 'pinned' fixture table; "
                          "'english' = the built-in irregular-forms "
-                         "dictionary morphology (functions/english.py), "
+                         "dictionary morphology (functions/english.py); "
                          "'porter' = the full Porter 1980 stemmer "
                          "(regular inflections; vocabulary-join build); "
-                         "--forms-json overrides with a custom "
+                         "'english-porter' = the LAYERED full normalizer "
+                         "(dictionary first, porter for unknown tokens); "
+                         "--forms-json swaps in a custom "
                          "{token: [forms...]} dictionary")
     ap.add_argument("--forms-json", default=None,
                     help="path to a JSON {token: [normal forms...]} "
@@ -63,11 +66,14 @@ def main() -> None:
     if args.forms_json:
         with open(args.forms_json) as fh:
             forms = {k: tuple(v) for k, v in json.load(fh).items()}
-        normalizer = "dict"
-    elif args.normalizer == "english":
+        normalizer = ("dict_porter" if args.normalizer == "english-porter"
+                      else "dict")
+    elif args.normalizer in ("english", "english-porter"):
         from searchengine_spark.functions.english import ENGLISH_FORMS
 
-        normalizer, forms = "dict", ENGLISH_FORMS
+        forms = ENGLISH_FORMS
+        normalizer = ("dict_porter" if args.normalizer == "english-porter"
+                      else "dict")
     elif args.normalizer == "porter":
         normalizer = "porter"
     if args.positions and normalizer not in ("pinned", "dict"):

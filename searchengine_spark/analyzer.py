@@ -201,6 +201,7 @@ def analyze_positions(text: str, normalizer: str = "pinned",
     s = _camel2_re.sub(r"\1 \2", s)
     s = _strip_re.sub(" ", s.lower())
     norm = None
+    fallback = None
     table = NORMAL_FORMS
     if normalizer == "porter":
         from .functions.porter import porter_stem
@@ -212,12 +213,27 @@ def analyze_positions(text: str, normalizer: str = "pinned",
         if forms is None:
             raise ValueError("normalizer='dict' needs a forms mapping")
         table = forms
+    elif normalizer == "dict_porter":
+        # the LAYERED full English normalizer (the reference's own shape:
+        # a dictionary morphology layered over the tokenizer) — the
+        # dictionary answers irregular/ambiguous forms with ALL their
+        # lemmas, and every token it does not know falls through to the
+        # Porter stemmer for the regular -s/-ed/-ing inflections
+        from .functions.porter import porter_stem
+
+        if forms is None:
+            raise ValueError("normalizer='dict_porter' needs a forms mapping")
+        table = forms
+        fallback = porter_stem
     out: list[tuple[str, ...]] = []
     for tok in s.split():
         if len(tok) < MIN_TOKEN_LEN or tok in STOP_WORDS:
             continue
         if norm is not None:
             out.append((norm(tok),))
+        elif fallback is not None:
+            hit = table.get(tok)
+            out.append(hit if hit is not None else (fallback(tok),))
         else:
             out.append(tuple(table.get(tok, (tok,))))
     return out
@@ -287,6 +303,32 @@ def tokenize_jvm(docs: DataFrame, text_col: str = "content",
     )
     if normalizer == "stem":
         return toks.select(*ids, stem_col(F.col("token")).alias("lemma"))
+    if normalizer == "dict_porter":
+        # layered: broadcast dictionary answers its tokens with ALL forms;
+        # every miss goes through the porter VOCABULARY join (stem each
+        # distinct unknown token once, map back) — O(dictionary) broadcast
+        # + O(unknown vocabulary) python, never O(corpus) python
+        from .functions.porter import porter_series
+
+        if forms is None:
+            raise ValueError("normalizer='dict_porter' needs a forms mapping")
+        exc = spark.createDataFrame(
+            [(k, list(v)) for k, v in forms.items()],
+            "token string, forms array<string>")
+        joined = toks.join(F.broadcast(exc), "token", "left")
+        hits = (joined.filter(F.col("forms").isNotNull())
+                .select(*ids, F.explode("forms").alias("lemma")))
+        misses = joined.filter(F.col("forms").isNull()).select(*ids, "token")
+
+        def _stem_vocab(it):
+            for pdf in it:
+                pdf["lemma"] = porter_series(pdf["token"])
+                yield pdf
+
+        vocab = misses.select("token").distinct().mapInPandas(
+            _stem_vocab, schema="token string, lemma string")
+        return hits.unionByName(
+            misses.join(vocab, "token").select(*ids, "lemma"))
     if normalizer == "porter":
         # vocabulary normalization: stem each DISTINCT token once (a tiny
         # mapInPandas over the deduped vocabulary), join the mapping back to
@@ -357,9 +399,10 @@ def tokenize_arrow(docs: DataFrame, text_col: str = "content",
     )
     out_schema = f"{id_fields}, lemma string"
     narrowed = docs.select(*ids, text_col)
-    if normalizer == "dict":
+    if normalizer in ("dict", "dict_porter"):
         if forms is None:
-            raise ValueError("normalizer='dict' needs a forms mapping")
+            raise ValueError(
+                f"normalizer={normalizer!r} needs a forms mapping")
         table = {k: list(v) for k, v in forms.items()}
     else:
         table = {k: list(v) for k, v in NORMAL_FORMS.items()}
@@ -394,11 +437,20 @@ def tokenize_arrow(docs: DataFrame, text_col: str = "content",
             base = base.assign(lemma=flat.values)
             # multi-lemma expansion: exception tokens -> list of forms, explode
             has_exc = base["lemma"].isin(forms.keys())
+            exc_rows = None
             if has_exc.any():
                 exc_rows = base[has_exc].copy()
                 exc_rows["lemma"] = exc_rows["lemma"].map(forms)
                 exc_rows = exc_rows.explode("lemma")
-                base = pd.concat([base[~has_exc], exc_rows], ignore_index=True)
+                base = base[~has_exc]
+            if normalizer == "dict_porter" and len(base):
+                # layered fallback: tokens the dictionary does not know go
+                # through the porter stemmer (vectorized over the batch)
+                from .functions.porter import porter_series
+
+                base = base.assign(lemma=porter_series(base["lemma"]).values)
+            if exc_rows is not None:
+                base = pd.concat([base, exc_rows], ignore_index=True)
             yield base.reset_index(drop=True)
 
     return narrowed.mapInPandas(_batches, schema=out_schema)

@@ -164,13 +164,13 @@ def index_analyzer(spark, index_dir: str, meta: dict | None = None,
         with open(f"{index_dir}/meta.json") as fh:
             meta = json.load(fh)
     norm = meta.get("normalizer", "pinned")
-    if norm != "dict":
+    if norm not in ("dict", "dict_porter"):
         return norm, None
     key = (index_dir, str(meta.get("dict_sha", "")))
     hit = _ANALYZER_CACHE.get(key)
-    if hit is None:
+    if hit is None or hit[0] != norm:
         rows = spark.read.parquet(f"{index_dir}/dict_forms").collect()
-        hit = ("dict", {r["token"]: tuple(r["forms"]) for r in rows})
+        hit = (norm, {r["token"]: tuple(r["forms"]) for r in rows})
         _ANALYZER_CACHE[key] = hit
     return hit
 
@@ -224,17 +224,17 @@ def build_index(
         # the normalizer is pinned with the index (postings encode ITS
         # lemmas); a resumed build must analyze with the stored table
         normalizer = old_meta.get("normalizer", "pinned")
-        if normalizer == "dict":
+        if normalizer in ("dict", "dict_porter"):
             _, forms = index_analyzer(spark, out_dir, old_meta)
-    if normalizer not in ("pinned", "dict", "porter", "stem"):
+    if normalizer not in ("pinned", "dict", "dict_porter", "porter", "stem"):
         raise ValueError(
             "build_index supports normalizer in ('pinned', 'dict', "
-            f"'porter', 'stem'), got {normalizer!r}")
+            f"'dict_porter', 'porter', 'stem'), got {normalizer!r}")
     if normalizer == "dict" and analyzer_impl != "arrow":
         raise ValueError("normalizer='dict' requires analyzer_impl='arrow'")
-    if normalizer == "dict" and forms is None:
-        raise ValueError("normalizer='dict' needs a forms mapping")
-    if normalizer == "dict" and old_meta is None:
+    if normalizer in ("dict", "dict_porter") and forms is None:
+        raise ValueError(f"normalizer={normalizer!r} needs a forms mapping")
+    if normalizer in ("dict", "dict_porter") and old_meta is None:
         # validate user dictionaries ONCE, before the expensive build: a
         # duplicate form in a value tuple would crash the positional
         # sidecar deep inside an executor (strictly-increasing delta
@@ -385,7 +385,7 @@ def build_index(
         "normalizer": normalizer,
     }
     os.makedirs(out_dir, exist_ok=True)
-    if normalizer == "dict":
+    if normalizer in ("dict", "dict_porter"):
         # persist the morphology table WITH the index (bounded vocabulary
         # artifact): serving analyzes queries with exactly the table that
         # produced the postings.  dict_sha keys the process-wide cache.

@@ -218,3 +218,71 @@ def test_porter_index_end_to_end(spark, tmp_path):
     assert sorted(d for d, _ in eng.topk_rows("connecting", 10)) == [0, 1]
     with pytest.raises(ValueError, match="table-driven"):
         build_positions(docs, idx)
+
+
+def test_dict_porter_three_executions_agree(spark):
+    """The layered normalizer's three executions (pure Python, JVM
+    broadcast-join + porter vocabulary join, pandas/Arrow) produce the
+    same lemma multiset per doc."""
+    from collections import Counter
+
+    from searchengine_spark.analyzer import (
+        analyze,
+        tokenize_arrow,
+        tokenize_jvm,
+    )
+
+    texts = [
+        "yesterday the team went home and wrote connection tests",
+        "people gone running when the children leave quietly",
+        "matrices with indices everywhere inside connected index code",
+        "turn left at the second junction then walking straight",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, content string")
+    want = {i: Counter(analyze(t, "dict_porter", ENGLISH_FORMS))
+            for i, t in enumerate(texts)}
+
+    for fn in (tokenize_jvm, tokenize_arrow):
+        got: dict[int, Counter] = {}
+        rows = fn(df, normalizer="dict_porter", forms=ENGLISH_FORMS).collect()
+        for r in rows:
+            got.setdefault(r["doc_id"], Counter())[r["lemma"]] += 1
+        assert got == want, fn.__name__
+    # the layering itself: dictionary wins on its tokens, porter on the rest
+    out = analyze("went connection running leaves", "dict_porter",
+                  ENGLISH_FORMS)
+    assert out == ["go", "connect", "run", "leaf", "leave"]
+
+
+def test_dict_porter_index_end_to_end(spark, tmp_path):
+    """One index answers BOTH morphology classes: irregulars via the
+    dictionary (went/gone meet at 'go') and regular inflections via the
+    porter fallback (connection/connected/connecting meet at 'connect');
+    the normalizer + dictionary pin across resume."""
+    rows = [
+        ("org/a", "s/a.py", "c1", "py",
+         "yesterday the team went home fixing the connection pool"),
+        ("org/a", "s/b.py", "c1", "py",
+         "people gone home once everything was connected cleanly"),
+        ("org/b", "s/c.py", "c1", "py",
+         "unrelated filler text without either concept present"),
+    ]
+    docs = ingest(spark.createDataFrame(rows, DOCS_SCHEMA))
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx, n_segments=2, salt=2, n_buckets=4, resume=False,
+                normalizer="dict_porter", forms=ENGLISH_FORMS)
+    with open(f"{idx}/meta.json") as fh:
+        meta = json.load(fh)
+    assert meta["normalizer"] == "dict_porter" and meta["dict_sha"]
+    assert index_analyzer(spark, idx, meta) == ("dict_porter", ENGLISH_FORMS)
+    for q in ("went", "gone", "connection", "connected", "connecting"):
+        got = sorted(r["doc_id"]
+                     for r in bm25_topk(spark, idx, q, 10).collect())
+        assert got == [0, 1], q
+    eng = QueryEngine(spark, idx)
+    assert sorted(d for d, _ in eng.topk_rows("connecting", 10)) == [0, 1]
+    # resume with no args keeps the layered normalizer
+    build_index(docs, idx, n_segments=2, salt=2, n_buckets=4)
+    with open(f"{idx}/meta.json") as fh:
+        assert json.load(fh)["normalizer"] == "dict_porter"
