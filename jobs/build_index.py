@@ -76,10 +76,6 @@ def main() -> None:
                       else "dict")
     elif args.normalizer == "porter":
         normalizer = "porter"
-    if args.positions and normalizer not in ("pinned", "dict"):
-        ap.error("--positions requires a table-driven normalizer "
-                 "(pinned/english/--forms-json); phrase search on a "
-                 "stemmed index uses the store-verify path")
 
     from searchengine_spark.corpus import corpus_df, ingest
     from searchengine_spark.session import get_spark

@@ -497,7 +497,7 @@ def doc_term_stats_arrow(docs: DataFrame, text_col: str = "content",
         import pyarrow.compute as pc
 
         stop_set = pa.array(sorted(STOP_WORDS))
-        exc_set = pa.array(list(table))
+        exc_set = pa.array(list(table), type=pa.string())
         for batch in it:
             if batch.num_rows == 0:
                 continue

@@ -139,19 +139,66 @@ def doc_lemma_positions(docs: DataFrame, text_col: str = "content",
     ~3x the main build; flat primitive rows let the JVM assemble the runs
     and the merge stay pure numpy).  Only the rare exception-table tokens
     round-trip through Python."""
-    from ..analyzer import _CAMEL_1, _CAMEL_2, _STRIP_PY, _forms_table
+    from ..analyzer import _forms_table
+
+    return _positions_kernel(docs, text_col,
+                             _forms_table(normalizer, forms), False)
+
+
+def doc_lemma_positions_stemmed(docs: DataFrame, text_col: str,
+                                normalizer: str,
+                                forms: dict[str, tuple[str, ...]] | None,
+                                ) -> DataFrame:
+    """The stemmer-family positional analyzer ('porter'/'stem'/
+    'dict_porter'): the Arrow kernel emits surviving tokens with a
+    ``raw`` provenance flag (dictionary expansions are FINAL lemmas, raw
+    tokens still need stemming), then the raw subset is normalized by the
+    same O(vocabulary) join the main build uses — stem each DISTINCT
+    surface token once, map back onto its positions.  Provenance matters:
+    an expanded form and a raw surface token can collide as strings
+    ("leave" from leaves -> leave must stay "leave" while a raw "leave"
+    porters to "leav")."""
+    from pyspark.sql import functions as F
+
+    from ..analyzer import stem_series
+    from ..functions.porter import porter_series
+
+    table = forms if normalizer == "dict_porter" else {}
+    if normalizer == "dict_porter" and forms is None:
+        raise ValueError("normalizer='dict_porter' needs a forms mapping")
+    series = stem_series if normalizer == "stem" else porter_series
+    tp = _positions_kernel(docs, text_col, table or {}, True)
+    done = tp.filter(~F.col("raw")).select("doc_id", "lemma", "pos")
+    raw = tp.filter(F.col("raw")).select(
+        "doc_id", F.col("lemma").alias("token"), "pos")
+
+    def _stem_vocab(it):
+        for pdf in it:
+            pdf["lemma"] = series(pdf["token"])
+            yield pdf
+
+    vocab = raw.select("token").distinct().mapInPandas(
+        _stem_vocab, schema="token string, lemma string")
+    return done.unionByName(
+        raw.join(vocab, "token").select("doc_id", "lemma", "pos"))
+
+
+def _positions_kernel(docs: DataFrame, text_col: str,
+                      table: dict[str, tuple[str, ...]],
+                      mark_raw: bool) -> DataFrame:
+    from ..analyzer import _CAMEL_1, _CAMEL_2, _STRIP_PY
     from ..analyzer import MIN_TOKEN_LEN, STOP_WORDS
 
-    schema = "doc_id long, lemma string, pos int"
+    schema = ("doc_id long, lemma string, pos int, raw boolean"
+              if mark_raw else "doc_id long, lemma string, pos int")
     narrowed = docs.select("doc_id", text_col)
-    table = _forms_table(normalizer, forms)
 
     def _batches(it):
         import pyarrow as pa
         import pyarrow.compute as pc
 
         stop_set = pa.array(sorted(STOP_WORDS))
-        exc_set = pa.array(list(table))
+        exc_set = pa.array(list(table), type=pa.string())
         for batch in it:
             if batch.num_rows == 0:
                 continue
@@ -190,6 +237,7 @@ def doc_lemma_positions(docs: DataFrame, text_col: str = "content",
             pos_arr = pa.array(pos, type=pa.int32())
             # multi-lemma expansion: exception tokens are rare, so only
             # THAT subset round-trips through Python (same pos, every form)
+            raw_arr = None
             exc_mask = pc.is_in(toks, value_set=exc_set)
             if (pc.sum(exc_mask).as_py() or 0) > 0:
                 base_mask = pc.invert(exc_mask)
@@ -207,19 +255,30 @@ def doc_lemma_positions(docs: DataFrame, text_col: str = "content",
                         xt.append(form)
                         xp.append(p_)
                         xpos.append(q_)
+                if mark_raw:
+                    # provenance: base tokens still need the stemmer,
+                    # dictionary expansions are final lemmas
+                    raw_arr = pa.concat_arrays([
+                        pa.array(np.ones(len(bt), dtype=bool)),
+                        pa.array(np.zeros(len(xt), dtype=bool)),
+                    ])
                 toks = pa.concat_arrays([bt, pa.array(xt, type=bt.type)])
                 par = pa.concat_arrays([bp, pa.array(xp, type=bp.type)])
                 pos_arr = pa.concat_arrays(
                     [bpos, pa.array(xpos, type=pa.int32())])
+            elif mark_raw:
+                raw_arr = pa.array(np.ones(len(toks), dtype=bool))
             id_idx = batch.schema.get_field_index("doc_id")
-            yield pa.record_batch(
-                [
-                    pc.cast(pc.take(batch.column(id_idx), par), pa.int64()),
-                    pc.cast(toks, pa.string()),
-                    pos_arr,
-                ],
-                names=["doc_id", "lemma", "pos"],
-            )
+            cols = [
+                pc.cast(pc.take(batch.column(id_idx), par), pa.int64()),
+                pc.cast(toks, pa.string()),
+                pos_arr,
+            ]
+            names = ["doc_id", "lemma", "pos"]
+            if mark_raw:
+                cols.append(raw_arr)
+                names.append("raw")
+            yield pa.record_batch(cols, names=names)
 
     return narrowed.mapInArrow(_batches, schema=schema)
 
@@ -256,12 +315,11 @@ def build_positions(docs_ingested: DataFrame, index_dir: str,
     from .builder import index_analyzer
 
     norm, forms = index_analyzer(spark, index_dir, meta)
-    if norm not in ("pinned", "dict"):
-        raise ValueError(
-            f"positional sidecar requires a table-driven normalizer "
-            f"('pinned'/'dict'); this index uses {norm!r} — phrase search "
-            "falls back to the store-verify path")
-    pos = doc_lemma_positions(docs, normalizer=norm, forms=forms)
+    if norm in ("pinned", "dict"):
+        pos = doc_lemma_positions(docs, normalizer=norm, forms=forms)
+    else:
+        # stemmer family: raw-token kernel + O(vocabulary) stem join
+        pos = doc_lemma_positions_stemmed(docs, "content", norm, forms)
     seg_col = (F.col("doc_id") / seg_size).cast("int")
     # salted runs travel as two ALIGNED primitive arrays — one entry per
     # OCCURRENCE (struct-field extraction after sort_array, JVM-side);

@@ -191,7 +191,7 @@ def test_porter_index_end_to_end(spark, tmp_path):
     """normalizer='porter' on the physical path: regular inflections meet
     at the stem on both sides (build via the O(vocabulary) normalization
     join, queries stemmed by index_analyzer), and the positional sidecar
-    refuses a stemmer index (store-verify is the phrase path there)."""
+    serves phrases across inflections."""
     from searchengine_spark.index.positions import build_positions
 
     rows = [
@@ -216,8 +216,14 @@ def test_porter_index_end_to_end(spark, tmp_path):
         assert got == [0, 1], q
     eng = QueryEngine(spark, idx)
     assert sorted(d for d, _ in eng.topk_rows("connecting", 10)) == [0, 1]
-    with pytest.raises(ValueError, match="table-driven"):
-        build_positions(docs, idx)
+    # positional sidecar on a STEMMED index: phrase adjacency holds in
+    # stemmed positions — "connected pools" matches doc 0's "connection
+    # pools" (both sides analyze to [connect, pool] at adjacent slots)
+    build_positions(docs, idx)
+    got = [(r["doc_id"], r["phrase_tf"]) for r in
+           phrase_topk_positions(spark, idx, "connected pools", 10).collect()]
+    assert got == [(0, 1)]
+    assert eng.phrase_rows("connection pool", 10) == [(0, 1)]
 
 
 def test_dict_porter_three_executions_agree(spark):
@@ -286,3 +292,14 @@ def test_dict_porter_index_end_to_end(spark, tmp_path):
     build_index(docs, idx, n_segments=2, salt=2, n_buckets=4)
     with open(f"{idx}/meta.json") as fh:
         assert json.load(fh)["normalizer"] == "dict_porter"
+    # positional sidecar under the layered normalizer: an expanded form
+    # and a raw porter output must keep distinct provenance ("gone home"
+    # matches "went home" via the dict lemma 'go' at one slot, while the
+    # porter side handles "fixing" -> "fix")
+    build_positions(docs, idx)
+    want = [(0, 1), (1, 1)]
+    got = [(r["doc_id"], r["phrase_tf"]) for r in
+           phrase_topk_positions(spark, idx, "gone home", 10).collect()]
+    assert got == want
+    eng2 = QueryEngine(spark, idx)
+    assert eng2.phrase_rows("went home", 10) == want
