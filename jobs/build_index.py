@@ -66,7 +66,11 @@ def main() -> None:
     if args.forms_json:
         with open(args.forms_json) as fh:
             forms = {k: tuple(v) for k, v in json.load(fh).items()}
-        normalizer = ("dict_porter" if args.normalizer == "english-porter"
+        # a porter-family request + a custom dictionary = the layered
+        # normalizer (silently dropping the requested stemming would
+        # change regular-inflection matching behind the user's back)
+        normalizer = ("dict_porter"
+                      if args.normalizer in ("porter", "english-porter")
                       else "dict")
     elif args.normalizer in ("english", "english-porter"):
         from searchengine_spark.functions.english import ENGLISH_FORMS

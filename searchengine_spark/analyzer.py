@@ -221,9 +221,7 @@ def analyze_positions(text: str, normalizer: str = "pinned",
         # Porter stemmer for the regular -s/-ed/-ing inflections
         from .functions.porter import porter_stem
 
-        if forms is None:
-            raise ValueError("normalizer='dict_porter' needs a forms mapping")
-        table = forms
+        table = dict_porter_table(forms)
         fallback = porter_stem
     out: list[tuple[str, ...]] = []
     for tok in s.split():
@@ -243,6 +241,38 @@ def collect_lemmas(text: str) -> dict[str, int]:
     """Per-document lemma -> count map (LemmaFinderImpl.collectLemmas analog,
     LemmaFinderImpl.java:34-47)."""
     return dict(Counter(analyze(text)))
+
+
+def dict_porter_table(forms: dict[str, tuple[str, ...]] | None,
+                      ) -> dict[str, tuple[str, ...]]:
+    """The dictionary as the LAYERED normalizer consumes it: every output
+    lemma projected into porter space (stemmed, deduped, sorted).  Under
+    'dict_porter' raw tokens are stemmed, so dictionary outputs must live
+    in the same lemma space or they can never meet — left -> ('leave',
+    'left') raw would sit beside a surface 'leave' that porters to
+    'leav' and the flagship irregular pairing would return zero hits.
+    Tuples are rebuilt here, so values are hashable regardless of what
+    the caller loaded from JSON."""
+    from .functions.porter import porter_stem
+
+    if forms is None:
+        raise ValueError("normalizer='dict_porter' needs a forms mapping")
+    return {k: tuple(sorted({porter_stem(f) for f in v}))
+            for k, v in forms.items()}
+
+
+def stem_vocab_map(tokens_df: DataFrame, series) -> DataFrame:
+    """(token) DF -> (token, lemma) mapping via ONE vectorized pass over
+    the DISTINCT vocabulary (mapInPandas) — the shared O(vocabulary)
+    normalization-join building block for every stemmer execution path."""
+
+    def _stem_vocab(it):
+        for pdf in it:
+            pdf["lemma"] = series(pdf["token"])
+            yield pdf
+
+    return tokens_df.select("token").distinct().mapInPandas(
+        _stem_vocab, schema="token string, lemma string")
 
 
 def _forms_table(normalizer: str,
@@ -304,29 +334,24 @@ def tokenize_jvm(docs: DataFrame, text_col: str = "content",
     if normalizer == "stem":
         return toks.select(*ids, stem_col(F.col("token")).alias("lemma"))
     if normalizer == "dict_porter":
-        # layered: broadcast dictionary answers its tokens with ALL forms;
+        # layered: broadcast dictionary answers its tokens with ALL forms
+        # (projected into porter space — one lemma space for both layers);
         # every miss goes through the porter VOCABULARY join (stem each
         # distinct unknown token once, map back) — O(dictionary) broadcast
-        # + O(unknown vocabulary) python, never O(corpus) python
+        # + O(unknown vocabulary) python, never O(corpus) python.  The
+        # joined stream is materialized ONCE (localCheckpoint): hits,
+        # misses and the vocab distinct would otherwise each re-run the
+        # tokenizer + broadcast join over the corpus.
         from .functions.porter import porter_series
 
-        if forms is None:
-            raise ValueError("normalizer='dict_porter' needs a forms mapping")
         exc = spark.createDataFrame(
-            [(k, list(v)) for k, v in forms.items()],
+            [(k, list(v)) for k, v in dict_porter_table(forms).items()],
             "token string, forms array<string>")
-        joined = toks.join(F.broadcast(exc), "token", "left")
+        joined = toks.join(F.broadcast(exc), "token", "left").localCheckpoint()
         hits = (joined.filter(F.col("forms").isNotNull())
                 .select(*ids, F.explode("forms").alias("lemma")))
         misses = joined.filter(F.col("forms").isNull()).select(*ids, "token")
-
-        def _stem_vocab(it):
-            for pdf in it:
-                pdf["lemma"] = porter_series(pdf["token"])
-                yield pdf
-
-        vocab = misses.select("token").distinct().mapInPandas(
-            _stem_vocab, schema="token string, lemma string")
+        vocab = stem_vocab_map(misses, porter_series)
         return hits.unionByName(
             misses.join(vocab, "token").select(*ids, "lemma"))
     if normalizer == "porter":
@@ -336,14 +361,7 @@ def tokenize_jvm(docs: DataFrame, text_col: str = "content",
         # corpus size; the mapping side is small, AQE broadcasts it.
         from .functions.porter import porter_series
 
-        def _stem_vocab(it):
-            for pdf in it:
-                pdf["lemma"] = porter_series(pdf["token"])
-                yield pdf
-
-        vocab = toks.select("token").distinct().mapInPandas(
-            _stem_vocab, schema="token string, lemma string"
-        )
+        vocab = stem_vocab_map(toks, porter_series)
         return toks.join(vocab, "token").select(*ids, "lemma")
     # dictionary morphology: surface token -> ALL normal forms, every form
     # counted (LemmaFinderImpl.java:40-44).  The pinned path is this exact
@@ -399,10 +417,11 @@ def tokenize_arrow(docs: DataFrame, text_col: str = "content",
     )
     out_schema = f"{id_fields}, lemma string"
     narrowed = docs.select(*ids, text_col)
-    if normalizer in ("dict", "dict_porter"):
+    if normalizer == "dict_porter":
+        table = {k: list(v) for k, v in dict_porter_table(forms).items()}
+    elif normalizer == "dict":
         if forms is None:
-            raise ValueError(
-                f"normalizer={normalizer!r} needs a forms mapping")
+            raise ValueError("normalizer='dict' needs a forms mapping")
         table = {k: list(v) for k, v in forms.items()}
     else:
         table = {k: list(v) for k, v in NORMAL_FORMS.items()}

@@ -160,25 +160,18 @@ def doc_lemma_positions_stemmed(docs: DataFrame, text_col: str,
     porters to "leav")."""
     from pyspark.sql import functions as F
 
-    from ..analyzer import stem_series
+    from ..analyzer import dict_porter_table, stem_series, stem_vocab_map
     from ..functions.porter import porter_series
 
-    table = forms if normalizer == "dict_porter" else {}
-    if normalizer == "dict_porter" and forms is None:
-        raise ValueError("normalizer='dict_porter' needs a forms mapping")
+    table = dict_porter_table(forms) if normalizer == "dict_porter" else {}
     series = stem_series if normalizer == "stem" else porter_series
-    tp = _positions_kernel(docs, text_col, table or {}, True)
+    # materialize the kernel output ONCE: done, raw and the vocab distinct
+    # would otherwise each re-run the (expensive) positional analyzer
+    tp = _positions_kernel(docs, text_col, table, True).localCheckpoint()
     done = tp.filter(~F.col("raw")).select("doc_id", "lemma", "pos")
     raw = tp.filter(F.col("raw")).select(
         "doc_id", F.col("lemma").alias("token"), "pos")
-
-    def _stem_vocab(it):
-        for pdf in it:
-            pdf["lemma"] = series(pdf["token"])
-            yield pdf
-
-    vocab = raw.select("token").distinct().mapInPandas(
-        _stem_vocab, schema="token string, lemma string")
+    vocab = stem_vocab_map(raw, series)
     return done.unionByName(
         raw.join(vocab, "token").select("doc_id", "lemma", "pos"))
 

@@ -255,10 +255,41 @@ def test_dict_porter_three_executions_agree(spark):
         for r in rows:
             got.setdefault(r["doc_id"], Counter())[r["lemma"]] += 1
         assert got == want, fn.__name__
-    # the layering itself: dictionary wins on its tokens, porter on the rest
+    # the layering itself: dictionary wins on its tokens (its outputs
+    # PROJECTED into porter space — one lemma space for both layers, so
+    # leaves -> leaf+leav can meet a raw 'leave' which porters to 'leav'),
+    # porter on the rest
     out = analyze("went connection running leaves", "dict_porter",
                   ENGLISH_FORMS)
-    assert out == ["go", "connect", "run", "leaf", "leave"]
+    assert out == ["go", "connect", "run", "leaf", "leav"]
+
+
+def test_dict_porter_layers_share_one_lemma_space(spark, tmp_path):
+    """Regression: a dictionary output that is not a porter fixed point
+    ('left' -> leave) must still meet that lexeme's REGULAR inflections —
+    docs saying 'leave'/'leaving' and docs saying 'left' find each other."""
+    rows = [
+        ("org/a", "s/a.py", "c1", "py",
+         "employees leave early on most fridays"),
+        ("org/a", "s/b.py", "c1", "py",
+         "half the team left before the meeting ended"),
+        ("org/a", "s/c.py", "c1", "py",
+         "people keep leaving reviews about nothing"),
+        ("org/b", "s/d.py", "c1", "py",
+         "unrelated filler text without either concept"),
+    ]
+    docs = ingest(spark.createDataFrame(rows, DOCS_SCHEMA))
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx, n_segments=2, salt=2, n_buckets=4, resume=False,
+                normalizer="dict_porter", forms=ENGLISH_FORMS)
+    # 'left' -> {leave, left} -> porter space {leav, left}: OR scoring
+    # reaches every doc with any inflection of 'leave' plus surface 'left'
+    got = sorted(r["doc_id"] for r in bm25_topk(spark, idx, "left", 10).collect())
+    assert got == [0, 1, 2]
+    for q in ("leave", "leaving"):
+        got = sorted(r["doc_id"]
+                     for r in bm25_topk(spark, idx, q, 10).collect())
+        assert got == [0, 1, 2], q
 
 
 def test_dict_porter_index_end_to_end(spark, tmp_path):
