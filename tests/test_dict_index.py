@@ -334,3 +334,37 @@ def test_dict_porter_index_end_to_end(spark, tmp_path):
     assert got == want
     eng2 = QueryEngine(spark, idx)
     assert eng2.phrase_rows("went home", 10) == want
+
+
+def test_dict_porter_incremental_rebuild_refreshes_positions(spark, tmp_path):
+    """rebuild_segments on a layered-normalizer index must keep BOTH the
+    normalizer and a fresh positional sidecar (the refresh resolves the
+    stemmed positional path from meta)."""
+    from searchengine_spark.index.positions import build_positions
+    from searchengine_spark.streaming.incremental import rebuild_segments
+
+    rows = [
+        ("org/a", "s/a.py", "c1", "py",
+         "yesterday the team went home fixing the connection pool"),
+        ("org/a", "s/b.py", "c1", "py",
+         "people gone home once everything was connected cleanly"),
+        ("org/b", "s/c.py", "c1", "py",
+         "unrelated filler text without either concept present"),
+    ]
+    docs = ingest(spark.createDataFrame(rows, DOCS_SCHEMA))
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx, n_segments=2, salt=2, n_buckets=4, resume=False,
+                normalizer="dict_porter", forms=ENGLISH_FORMS)
+    build_positions(docs, idx)
+    want = [(r["doc_id"], r["phrase_tf"]) for r in
+            phrase_topk_positions(spark, idx, "went home", 10).collect()]
+    assert want
+
+    rebuild_segments(docs, idx, [0])
+    with open(f"{idx}/meta.json") as fh:
+        meta = json.load(fh)
+    assert meta["normalizer"] == "dict_porter"
+    assert meta["has_positions"]
+    got = [(r["doc_id"], r["phrase_tf"]) for r in
+           phrase_topk_positions(spark, idx, "gone home", 10).collect()]
+    assert got == want  # same lemma pattern (go, home) on both phrases
