@@ -68,8 +68,6 @@ def main() -> None:
     if args.phrase and (args.offset or args.conjunctive):
         ap.error("--phrase does not support --offset/--conjunctive "
                  "(and ignores --mode)")
-    if args.phrase and args.batch is not None and args.site:
-        ap.error("--batch --phrase does not support --site")
 
     spark = get_spark("query", cores=args.cores)
 
@@ -85,8 +83,10 @@ def main() -> None:
                      "(jobs/build_index.py --positions)")
         lines = [ln.strip() for ln in Path(args.batch).read_text().splitlines()]
         workload = {f"q{i}": q for i, q in enumerate(ln for ln in lines if ln)}
+        p_sites = ({qid: args.site for qid in workload} if args.site else None)
         t0 = time.perf_counter()
-        rows = phrase_topk_batch(spark, args.index, workload, args.k).collect()
+        rows = phrase_topk_batch(spark, args.index, workload, args.k,
+                                 sites=p_sites).collect()
         by_q: dict[str, list] = {qid: [] for qid in workload}
         for r in rows:
             by_q[r["qid"]].append((r["doc_id"], r["phrase_tf"]))

@@ -479,14 +479,22 @@ def read_positions(spark: SparkSession, index_dir: str,
 
 
 def phrase_topk_batch(spark: SparkSession, index_dir: str,
-                      phrases: dict[str, str], k: int = 10) -> DataFrame:
+                      phrases: dict[str, str], k: int = 10,
+                      sites: dict[str, str] | None = None) -> DataFrame:
     """Score a whole PHRASE workload in one Spark job: (qid, doc_id,
     phrase_tf) — the positional twin of wand.bm25_topk_batch.  ONE
     bucket-pruned sidecar scan covers the union of all patterns' forms;
     inside each segment every form is decoded ONCE and shared across all
     phrases using it; the per-qid top-k merge is one tiny window-ranked
     shuffle.  Row-identical per qid to :func:`phrase_topk_positions`
-    (parity-tested)."""
+    (parity-tested).
+
+    ``sites`` (qid -> repo, optional per qid) completes batch API parity
+    with BM25: a qid's scope becomes the same doc_id interval mask the
+    single path applies (in-segment after the slot intersection, with a
+    per-qid live-segment skip), an unknown site drops its qid (single-path
+    parity: empty), and when EVERY qid is scoped the sidecar scan itself
+    prunes to the union of their overlapping segments."""
     import pandas as pd
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -505,11 +513,35 @@ def phrase_topk_batch(spark: SparkSession, index_dir: str,
     qpat = {qid: p for qid, p in qpat.items() if p}
     if not qpat:
         return empty
-    all_forms = sorted({f for p in qpat.values() for fs in p for f in fs})
     with open(f"{index_dir}/meta.json") as fh:
         seg_size = int(json.load(fh)["seg_size"])
 
+    qiv: dict[str, list[tuple[int, int]] | None] = {q: None for q in qpat}
+    qlive: dict[str, set[int] | None] = {q: None for q in qpat}
+    if sites:
+        from .builder import read_site_ranges
+        from .wand import _overlapping_segments
+
+        iv_cache: dict[str, list[tuple[int, int]]] = {}
+        for qid in list(qpat):
+            s = sites.get(qid)
+            if s is None:
+                continue
+            if s not in iv_cache:
+                iv_cache[s] = read_site_ranges(spark, index_dir, s)
+            if not iv_cache[s]:
+                del qpat[qid]  # unknown site owns no pages
+            else:
+                qiv[qid] = iv_cache[s]
+                qlive[qid] = _overlapping_segments(iv_cache[s], seg_size)
+        if not qpat:
+            return empty
+    all_forms = sorted({f for p in qpat.values() for fs in p for f in fs})
+
     pdf_src = read_positions(spark, index_dir, all_forms)
+    if sites and all(qlive.get(q) is not None for q in qpat):
+        union = sorted(set().union(*(qlive[q] for q in qpat)))
+        pdf_src = pdf_src.filter(F.col("segment").isin(union))
 
     def _seg(pdf: pd.DataFrame) -> pd.DataFrame:
         seg = int(pdf["segment"].iloc[0])
@@ -527,10 +559,21 @@ def phrase_topk_batch(spark: SparkSession, index_dir: str,
         out_d: list[int] = []
         out_t: list[int] = []
         for qid, pattern in qpat.items():
+            live = qlive.get(qid)
+            if live is not None and seg not in live:
+                continue  # this qid's site cannot reach this segment
             acc = _intersect_slots(pattern, decoded, K)
             if acc is None or acc.size == 0:
                 continue
             ids, tf = np.unique(base + acc // K, return_counts=True)
+            iv = qiv.get(qid)
+            if iv is not None:
+                from .wand import _mask_ids
+
+                keep = np.isin(ids, _mask_ids(ids, iv))
+                ids, tf = ids[keep], tf[keep]
+                if ids.size == 0:
+                    continue
             order = np.lexsort((ids, -tf))[:k]  # segment-local pre-cut
             out_q.extend([qid] * order.size)
             out_d.extend(ids[order].tolist())

@@ -315,3 +315,30 @@ def test_rebuild_never_reenables_incomplete_sidecar(spark, tmp_path):
     # full refresh is the recovery path
     build_positions(docs, idx)
     assert has_positions(idx)
+
+
+def test_phrase_batch_sites_match_single_path(spark, env):
+    """phrase_topk_batch with per-qid sites: row-identical to the
+    site-scoped single path (scoped / unscoped mixed, unknown site ->
+    empty), and with EVERY qid scoped the scan prunes to the union of
+    live segments."""
+    from searchengine_spark.index.positions import phrase_topk_batch
+
+    store, idx = env
+    docs = read_store(spark, store)
+    repos = sorted(r["repo"] for r in
+                   docs.select("repo").distinct().collect())
+    r0, r1 = repos[0], repos[-1]
+    workload = {"a": "sorvel tamok", "b": "tamok veltadrolix",
+                "c": "sorvel tamok", "d": "veltadrolix"}
+    sites = {"a": r0, "b": r1, "d": "org9/nope"}  # c unscoped, d unknown
+    got: dict[str, list] = {}
+    for r in phrase_topk_batch(spark, idx, workload, k=10,
+                               sites=sites).collect():
+        got.setdefault(r["qid"], []).append((r["doc_id"], r["phrase_tf"]))
+    for qid, ph in workload.items():
+        want = [(r["doc_id"], r["phrase_tf"]) for r in
+                phrase_topk_positions(spark, idx, ph, k=10,
+                                      site=sites.get(qid)).collect()]
+        assert got.get(qid, []) == want, (qid, ph, sites.get(qid))
+    assert "d" not in got  # unknown site drops its qid entirely
