@@ -47,7 +47,9 @@ def main() -> None:
                     help="treat --query as an exact phrase (requires --store "
                          "for positional verification)")
     ap.add_argument("--mode", choices=["auto", "maxscore", "bmw", "exhaustive"],
-                    default="maxscore")
+                    default=None,
+                    help="scoring strategy (default maxscore); phrase paths "
+                         "reject it — phrases do not score")
     ap.add_argument("--conjunctive", action="store_true")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
@@ -65,9 +67,14 @@ def main() -> None:
     if (args.query is None) == (args.batch is None):
         ap.error("exactly one of --query / --batch is required")
     # reject silently-unsupported combinations instead of dropping flags
-    if args.phrase and (args.offset or args.conjunctive):
-        ap.error("--phrase does not support --offset/--conjunctive "
-                 "(and ignores --mode)")
+    if args.phrase and (args.offset or args.conjunctive
+                        or args.mode is not None):
+        ap.error("--phrase does not support --offset/--conjunctive/--mode")
+    if args.batch is not None and args.phrase and args.store is not None:
+        ap.error("--batch --phrase serves from the positional sidecar only; "
+                 "--store (store-verify) is not supported on the batch "
+                 "phrase path")
+    mode = args.mode or "maxscore"
 
     spark = get_spark("query", cores=args.cores)
 
@@ -110,7 +117,7 @@ def main() -> None:
                      if args.offset else None)
         t0 = time.perf_counter()
         rows = bm25_topk_batch(spark, args.index, workload, args.k,
-                               mode=args.mode, conjunctive=args.conjunctive,
+                               mode=mode, conjunctive=args.conjunctive,
                                sites=b_sites, offsets=b_offsets).collect()
         by_q: dict[str, list] = {qid: [] for qid in workload}
         for r in rows:
@@ -183,7 +190,7 @@ def main() -> None:
         q = args.query[0]
         t0 = time.perf_counter()
         rows = bm25_topk(spark, args.index, q, args.k,
-                         mode=args.mode, conjunctive=args.conjunctive,
+                         mode=mode, conjunctive=args.conjunctive,
                          site=args.site, offset=args.offset).collect()
         dt = (time.perf_counter() - t0) * 1000
         print(json.dumps({
@@ -200,7 +207,7 @@ def main() -> None:
                       "prefetch_ms": round(prefetch_ms, 1)}))
     for q in args.query:
         t0 = time.perf_counter()
-        hits = eng.topk_rows(q, args.k, mode=args.mode,
+        hits = eng.topk_rows(q, args.k, mode=mode,
                              conjunctive=args.conjunctive,
                              site=args.site, offset=args.offset)
         dt = (time.perf_counter() - t0) * 1000

@@ -334,26 +334,30 @@ def tokenize_jvm(docs: DataFrame, text_col: str = "content",
     if normalizer == "stem":
         return toks.select(*ids, stem_col(F.col("token")).alias("lemma"))
     if normalizer == "dict_porter":
-        # layered: broadcast dictionary answers its tokens with ALL forms
-        # (projected into porter space — one lemma space for both layers);
-        # every miss goes through the porter VOCABULARY join (stem each
-        # distinct unknown token once, map back) — O(dictionary) broadcast
-        # + O(unknown vocabulary) python, never O(corpus) python.  The
-        # joined stream is materialized ONCE (localCheckpoint): hits,
-        # misses and the vocab distinct would otherwise each re-run the
-        # tokenizer + broadcast join over the corpus.
+        # layered: ONE combined vocabulary mapping — the broadcast
+        # dictionary answers its tokens with ALL forms (projected into
+        # porter space, one lemma space for both layers), and every
+        # DISTINCT token the dictionary does not know is porter-stemmed
+        # once (anti-join against the dict keys, then the shared
+        # O(vocabulary) mapInPandas) and unioned in as a 1-form entry.
+        # The token stream then takes a SINGLE join + explode against
+        # that mapping — O(dictionary) broadcast + O(unknown vocabulary)
+        # python, never O(corpus) python, and (unlike the first cut of
+        # this path) no O(corpus tokens) localCheckpoint of the joined
+        # stream: the only re-run of the tokenizer is the narrow distinct
+        # pass, the same cost the plain 'porter' path accepts.
         from .functions.porter import porter_series
 
         exc = spark.createDataFrame(
             [(k, list(v)) for k, v in dict_porter_table(forms).items()],
             "token string, forms array<string>")
-        joined = toks.join(F.broadcast(exc), "token", "left").localCheckpoint()
-        hits = (joined.filter(F.col("forms").isNotNull())
+        miss_vocab = stem_vocab_map(
+            toks.join(F.broadcast(exc.select("token")), "token", "left_anti"),
+            porter_series)
+        vocab = exc.unionByName(
+            miss_vocab.select("token", F.array("lemma").alias("forms")))
+        return (toks.join(vocab, "token")
                 .select(*ids, F.explode("forms").alias("lemma")))
-        misses = joined.filter(F.col("forms").isNull()).select(*ids, "token")
-        vocab = stem_vocab_map(misses, porter_series)
-        return hits.unionByName(
-            misses.join(vocab, "token").select(*ids, "lemma"))
     if normalizer == "porter":
         # vocabulary normalization: stem each DISTINCT token once (a tiny
         # mapInPandas over the deduped vocabulary), join the mapping back to

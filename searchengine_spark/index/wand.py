@@ -612,6 +612,26 @@ class QueryEngine:
             self._cache_total += nb
         self._evict(floor)
 
+    def _drop_terms(self, lemmas: list[str]) -> None:
+        """Remove specific lemmas from the term cache (the post-fetch
+        backstop's cleanup: an under-estimated fetch that turned out
+        over-threshold must not stay resident past the byte bound its
+        floor-protected fetch just pierced), then re-run the bounded
+        eviction with no floor so the cache is back inside its budget."""
+        for t in lemmas:
+            if t in self._term_cache:
+                del self._term_cache[t]
+                self._cache_total -= self._cache_nb.pop(t, 0)
+        self._evict(0)
+
+    def _drop_pos(self, forms: list[str]) -> None:
+        """Positional twin of :meth:`_drop_terms`."""
+        for t in forms:
+            if t in self._pos_cache:
+                del self._pos_cache[t]
+                self._pos_total -= self._pos_nb.pop(t, 0)
+        self._evict_pos(0)
+
     def _evict_pos(self, floor: int) -> None:
         """Positional-cache LRU eviction (same bounds discipline as
         :meth:`_evict`: entry count AND total compressed bytes, never below
@@ -717,7 +737,12 @@ class QueryEngine:
                         return _distributed()
             self._fetch_positions(fetch, floor=len(forms))
         if sum(self._pos_nb.get(t, 0) for t in forms) > local_threshold_bytes:
-            return _distributed()  # under-estimate / legacy-sidecar backstop
+            # under-estimate / legacy-sidecar backstop: route distributed,
+            # and drop the just-fetched oversized entries so they don't sit
+            # floor-pinned past pos_cache_bytes until a later fetch evicts
+            if fetch:
+                self._drop_pos(fetch)
+            return _distributed()
 
         seg_size = int(self.meta["seg_size"])
         live = (_overlapping_segments(intervals, seg_size)
@@ -882,6 +907,11 @@ class QueryEngine:
             return []
         total = sum(nb for _, _, _, nb in entries)
         if total > local_threshold_bytes:
+            # under-estimate backstop: route distributed, and drop the
+            # just-fetched oversized entries so they don't sit floor-pinned
+            # past term_cache_bytes until a later fetch evicts them
+            if fetch:
+                self._drop_terms(fetch)
             out = self.topk(query, k, mode, conjunctive,
                             site=site, offset=offset).collect()
             return [(r["doc_id"], r["score"]) for r in out]

@@ -48,12 +48,15 @@ def brute_force_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
 
     One narrow scan + TakeOrderedAndProject; the similarity is rounded to
     4 dp BEFORE ordering (with id tie-break) so the top-k frontier is
-    deterministic across summation orders."""
+    deterministic across summation orders.  A zero-norm vector's cosine is
+    NaN (0/0) — and Spark orders NaN ABOVE every double, so without a
+    guard a degenerate vector would rank first for every query; such rows
+    are dropped (same treatment as the batch kernel's norm mask)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = emb.select(
         id_col,
         F.round(cosine(_as_double(F.col(vec_col)), q), 4).alias("cos_sim"),
-    )
+    ).filter(~F.isnan("cos_sim"))
     if exclude_id is not None:
         scored = scored.filter(F.col(id_col) != exclude_id)
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
@@ -538,12 +541,18 @@ def _masked_batch_topk(src: DataFrame, queries: dict[str, list[float]],
                    if probe_arrs is not None else None)
             flat = la.flatten().to_numpy(zero_copy_only=False)
             mat = flat.reshape(n, flat.size // n)
-            sims = (mat @ qn) / np.sqrt((mat * mat).sum(axis=1))[:, None]
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            # zero-norm vectors have no cosine direction: mask them out of
+            # every query's candidate set (the single path's NaN similarity
+            # never enters a top-k either — drop keeps batch == single)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (mat @ qn) / norms[:, None]
             sims = np.sign(sims) * np.floor(np.abs(sims) * 1e4 + 0.5) / 1e4
+            nonzero = norms > 0.0
             out_qi, out_vid, out_cs = [], [], []
             for qi in range(len(qids)):
                 cs = sims[:, qi]
-                keep = vid != exv[qi]
+                keep = (vid != exv[qi]) & nonzero
                 if probe_arrs is not None:
                     keep &= np.isin(lid, probe_arrs[qi])
                 m = np.nonzero(keep)[0]

@@ -135,27 +135,55 @@ def sample_corpus(docs: DataFrame, fraction: float,
 
 
 def pack_shards(docs: DataFrame, budget_tokens: int,
-                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                text_col: str = "text", id_col: str = "doc_id",
+                bucket_size: int = 1 << 20) -> DataFrame:
     """Assign each doc to a contiguous token-budget shard: docs are laid
     out in ``id_col`` order and cut every ``budget_tokens`` tokens —
     (id, n_tokens, shard).  The training-data packing step: shard K is
     the unit a trainer streams.
 
-    Shape: one window cumulative sum over the deterministic id order.
-    The single global window is the honest cost of a GLOBAL contiguous
-    packing (any engine must serialize the running total); at 100 TB one
-    packs per partition-sized key instead — pass a pre-bucketed id range
-    per job, the operator itself stays the same."""
+    Shape (two-level cumulative sum — no global window): the id space is
+    cut into ``bucket_size``-wide buckets (``floor(id / bucket_size)`` is
+    monotone in id, so bucket order IS id order); a windowed cumsum runs
+    WITHIN each bucket in parallel, the per-bucket token totals (one long
+    per bucket — ~10^6 rows at 10^12 docs) are collected, their exclusive
+    prefix sums are computed driver-side and broadcast back, and each
+    row's GLOBAL running total is ``bucket_offset + local_cum``.  Output
+    is row-identical to a single global window cumsum, but the plan is
+    wide: every exchange hash-partitions on the bucket key, no task ever
+    holds more than one bucket's sort.  The second pass over ``docs``
+    (totals job + final select) recomputes ``token_count`` — two narrow
+    pruned scans beat serializing 100 TB through one window task."""
     from pyspark.sql import Window
 
-    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
     nt = token_count(F.col(text_col))
+    scored = docs.select(
+        F.col(id_col),
+        nt.alias("n_tokens"),
+        F.floor(F.col(id_col) / F.lit(int(bucket_size)))
+        .cast("long").alias("_bkt"),
+    )
+    totals = {
+        r["_bkt"]: int(r["t"])
+        for r in scored.groupBy("_bkt").agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    run = 0
+    offsets = []
+    for bkt in sorted(totals):
+        offsets.append((bkt, run))
+        run += totals[bkt]
+    spark = docs.sparkSession
+    off_df = spark.createDataFrame(offsets, schema="_bkt long, _off long")
+    w = (Window.partitionBy("_bkt").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
     return (
-        docs.select(id_col, nt.alias("n_tokens"))
+        scored
         .withColumn("_cum", F.sum("n_tokens").over(w))
+        .join(F.broadcast(off_df), "_bkt")
         .select(
             id_col, "n_tokens",
-            F.floor((F.col("_cum") - F.col("n_tokens"))
+            F.floor((F.col("_off") + F.col("_cum") - F.col("n_tokens"))
                     / F.lit(int(budget_tokens))).cast("long").alias("shard"),
         )
     )

@@ -148,6 +148,26 @@ def test_pack_shards_budget_invariant(spark):
         cum += r["n_tokens"]
 
 
+def test_pack_shards_two_level_identity_and_plan(spark):
+    """r4 VERDICT item 1: the two-level cumsum (per-bucket window +
+    broadcast exclusive prefix offsets) is row-identical to a global
+    cumsum, and the window's exchange hash-partitions on the bucket key —
+    no single-partition global sort anywhere in the plan."""
+    from searchengine_spark.operators.pipeline import pack_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = pack_shards(docs, budget_tokens=3000, bucket_size=7)
+    got = out.orderBy("doc_id").collect()
+    # one giant bucket degenerates to the old single global cumsum
+    ref = (pack_shards(docs, budget_tokens=3000, bucket_size=1 << 62)
+           .orderBy("doc_id").collect())
+    assert got == ref
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "hashpartitioning(_bkt" in plan
+    assert "SinglePartition" not in plan
+
+
 def test_decontaminate_planted_overlap(spark):
     """A doc copying an 8-gram from the benchmark is dropped; unrelated
     docs and sub-8-token docs survive; the gram join is a broadcast."""
