@@ -31,6 +31,15 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "40000"))
+# Host-noise interpretability (r4 VERDICT item 4): the sandbox host is
+# shared — /proc/loadavg is HOST-wide and bench numbers at a loud window
+# are neighbor steal, not engine measurements.  Bench records the load
+# average and a pinned pure-JVM kernel-control probe into the JSON; if
+# the 1-min load exceeds BENCH_LOAD_MAX at probe time it waits once
+# (BENCH_LOAD_WAIT seconds) and re-probes, so the file of record shows
+# whether the window was quiet — and the retry gives it one chance to be.
+BENCH_LOAD_MAX = float(os.environ.get("BENCH_LOAD_MAX", "24"))
+BENCH_LOAD_WAIT = float(os.environ.get("BENCH_LOAD_WAIT", "60"))
 BENCH_QUERY_SET = [
     "tamok", "velsor", "tamok velsor", "sorvel lixpex", "renta drosorqua",
     "tamok velsor binqua", "veltadrolix", "kw_rare_xyzzy", "норма tamok",
@@ -40,6 +49,41 @@ HEADLINE = [
     "search_sumtf", "search_bm25", "tf_per_doc", "df_per_source",
     "dedup_exact", "dedup_minhash_lsh", "ann_cosine_topk", "text_quality",
 ]
+
+
+def _host_load() -> float:
+    """1-minute host-wide load average (-1.0 where /proc is unavailable)."""
+    try:
+        with open("/proc/loadavg") as fh:
+            return float(fh.read().split()[0])
+    except OSError:
+        return -1.0
+
+
+def _kernel_control(spark) -> float:
+    """PINNED pure-JVM probe (the tokenize-shaped dataflow of
+    BENCH/scaling.py's kernel at 1/4 size, in-session): its time measures
+    what the host is actually giving this JVM, independent of any engine
+    code — round-over-round, a slower control with unchanged plans means
+    neighbor steal, not regression.  Do not change the probe's shape or
+    size; its only value is comparability across rounds."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 100_000, numPartitions=64).select(
+        F.col("id"),
+        F.concat_ws(" ", F.array_repeat(F.concat(
+            F.lit("tokVal"), (F.col("id") % 977).cast("string"),
+            F.lit("_suffix kw")), 200)).alias("c"))
+    df = df.cache()
+    df.count()
+    t0 = time.perf_counter()
+    (df.select(F.explode(F.split(F.regexp_replace(F.lower(F.regexp_replace(
+        F.col("c"), "([a-z0-9])([A-Z])", "$1 $2")), "[0-9_]", " "), " "))
+       .alias("t"))
+       .filter("t <> ''").groupBy("t").count().count())
+    dt = time.perf_counter() - t0
+    df.unpersist()
+    return dt
 
 
 def main() -> None:
@@ -67,6 +111,16 @@ def main() -> None:
     for name in HEADLINE:
         QUERIES[name](spark, "/root/testdata/sf0.001").collect()
     warmup_s = time.perf_counter() - t_warm
+
+    # host-noise probes (excluded from value/warmup_s): loadavg + pinned
+    # JVM kernel control; one bounded wait-and-reprobe if the window is loud
+    loads = [_host_load()]
+    kernels = [round(_kernel_control(spark), 2)]
+    if loads[0] > BENCH_LOAD_MAX:
+        time.sleep(BENCH_LOAD_WAIT)
+        loads.append(_host_load())
+        kernels.append(round(_kernel_control(spark), 2))
+
     t_all = time.perf_counter()
 
     # 1 — headline gate queries on the driver's parquet tables
@@ -88,6 +142,33 @@ def main() -> None:
         files_per_sec = n / build_s
         q_times["index_build"] = round(build_s, 3)
 
+        # 2c — dictionary-morphology build delta (r5): the SAME corpus
+        # built with the layered dict+porter normalizer and a
+        # full-dictionary-size table (built-in irregulars + 20k synthetic
+        # letter-only entries) — its own line, excluded from the headline,
+        # so rounds can watch the dictionary mechanism's build overhead
+        from searchengine_spark.functions.english import ENGLISH_FORMS
+
+        big_forms = dict(ENGLISH_FORMS)
+        for i in range(5000):
+            j, s = i, ""
+            for _ in range(3):
+                s += chr(97 + j % 26)
+                j //= 26
+            for suf in ("ed", "ing", "est", "en"):
+                big_forms[f"qlem{s}{suf}"] = (f"qlem{s}",)
+        t_add0 = time.perf_counter()
+        out_dict = tempfile.mkdtemp(prefix="bench_idx_dict_")
+        try:
+            t0 = time.perf_counter()
+            build_index(docs, out_dict, n_segments=4, salt=8, n_buckets=16,
+                        block_size=128, resume=False,
+                        normalizer="dict_porter", forms=big_forms)
+            q_times["dict_index_build"] = round(time.perf_counter() - t0, 3)
+        finally:
+            shutil.rmtree(out_dict, ignore_errors=True)
+        t_additions = time.perf_counter() - t_add0
+
         # 2b — positional sidecar (opt-in phrase scale path) + the high-df
         # phrase probe: a bigram of two COMMON terms, the regime where the
         # store-verify path degrades to near-full-corpus re-analysis; the
@@ -106,7 +187,7 @@ def main() -> None:
         t0 = time.perf_counter()
         phrase_topk(spark, out, None, "sorvel veltadrolix", 10).collect()
         q_times["phrase_common_bigram"] = round(time.perf_counter() - t0, 3)
-        t_additions = time.perf_counter() - t_add0
+        t_additions += time.perf_counter() - t_add0
 
         # 3 — BM25 top-10 latency on the physical index, three serving
         # shapes (r3 VERDICT item 3): TRUE COLD (lazy engine, each query
@@ -157,6 +238,15 @@ def main() -> None:
             t0 = time.perf_counter()
             engine2.phrase_rows(ph, 10)
             pwarm.append(time.perf_counter() - t0)
+
+        # whole-phrase-suite batch path (r5): a FRESH engine serves the
+        # suite as ONE guarded fetch + driver-side numpy loop — the
+        # offline-eval shape, symmetric with bm25_batch10_1job
+        engine3 = QueryEngine(spark, out)
+        t0 = time.perf_counter()
+        engine3.phrase_rows_batch(
+            {f"p{i}": ph for i, ph in enumerate(PHRASE_SET)}, 10)
+        q_times["phrase_suite"] = round(time.perf_counter() - t0, 3)
         t_additions += time.perf_counter() - t_add0
 
         # whole-suite batch path: ONE distributed job scores all 10 queries
@@ -189,6 +279,9 @@ def main() -> None:
         "metric": "index-build files/sec + BM25 top-10 p95 latency",
         "value": round(total, 3),  # measured work only; warmup_s is separate
         "warmup_s": round(warmup_s, 3),
+        "host_load": loads[-1],          # 1-min loadavg at measurement start
+        "kernel_control_s": kernels[-1],  # pinned JVM probe (see docstring)
+        "host_probes": {"loadavg": loads, "kernel_s": kernels},
         "unit": "sec",
         "queries": q_times,
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],

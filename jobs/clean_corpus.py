@@ -46,6 +46,12 @@ def main() -> None:
     ap.add_argument("--decontaminate-from", default=None,
                     help="parquet dir of benchmark texts (content column): "
                          "drop survivors sharing any word 8-gram with it")
+    ap.add_argument("--pack-budget", type=int, default=None,
+                    help="token budget per training shard: survivors get a "
+                         "contiguous-by-doc_id shard assignment (two-level "
+                         "cumsum, no global sort) and the output is written "
+                         "partitioned by shard= instead of repo= — the "
+                         "trainer-ready layout (shard K streams as a unit)")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 
@@ -123,8 +129,21 @@ def main() -> None:
             cleaned.withColumn("content", mask_pii(F.col("content")))
             .withColumn("sha256", F.sha2(F.col("content"), 256))
         )
-    cleaned.write.mode("overwrite").partitionBy("repo").parquet(args.out)
+    if args.pack_budget is not None:
+        # packing runs LAST so n_tokens reflects the content the trainer
+        # actually sees (post-masking); the shard column joins back onto
+        # the full-width rows by doc_id and the write partitions by shard
+        shards = P.pack_shards(cleaned, args.pack_budget,
+                               text_col="content", id_col="doc_id")
+        cleaned = cleaned.join(
+            shards.select("doc_id", "n_tokens", "shard"), "doc_id")
+        cleaned.write.mode("overwrite").partitionBy("shard").parquet(args.out)
+    else:
+        cleaned.write.mode("overwrite").partitionBy("repo").parquet(args.out)
     n_out = spark.read.parquet(args.out).count()
+    if args.pack_budget is not None:
+        stage_counts["n_shards"] = (
+            spark.read.parquet(args.out).select("shard").distinct().count())
     dt = time.perf_counter() - t0
 
     funnel = {k: int(v or 0) for k, v in funnel.items()}

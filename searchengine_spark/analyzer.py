@@ -340,12 +340,21 @@ def tokenize_jvm(docs: DataFrame, text_col: str = "content",
         # DISTINCT token the dictionary does not know is porter-stemmed
         # once (anti-join against the dict keys, then the shared
         # O(vocabulary) mapInPandas) and unioned in as a 1-form entry.
-        # The token stream then takes a SINGLE join + explode against
-        # that mapping — O(dictionary) broadcast + O(unknown vocabulary)
-        # python, never O(corpus) python, and (unlike the first cut of
-        # this path) no O(corpus tokens) localCheckpoint of the joined
-        # stream: the only re-run of the tokenizer is the narrow distinct
-        # pass, the same cost the plain 'porter' path accepts.
+        # The token stream then takes a SINGLE FORCED-BROADCAST join +
+        # explode against that mapping — O(dictionary) broadcast +
+        # O(unknown vocabulary) python, never O(corpus) python, and
+        # (unlike the first cut of this path) no O(corpus tokens)
+        # localCheckpoint of the joined stream: the only re-run of the
+        # tokenizer is the narrow distinct pass, the same cost the plain
+        # 'porter' path accepts.  The broadcast is forced (not left to
+        # AQE) so the token stream NEVER takes an exchange — an unhinted
+        # join materializes the whole (ids, token) stream as shuffle
+        # files before AQE's runtime conversion, an O(corpus tokens)
+        # write this path exists to avoid.  The mapping side is the
+        # bounded dictionary artifact plus the corpus's DISTINCT unknown
+        # vocabulary (MBs–low GBs at any realistic corpus; the same
+        # object the 'porter' path joins); a corpus with a pathological
+        # vocabulary should use the (default) arrow build path.
         from .functions.porter import porter_series
 
         exc = spark.createDataFrame(
@@ -356,7 +365,7 @@ def tokenize_jvm(docs: DataFrame, text_col: str = "content",
             porter_series)
         vocab = exc.unionByName(
             miss_vocab.select("token", F.array("lemma").alias("forms")))
-        return (toks.join(vocab, "token")
+        return (toks.join(F.broadcast(vocab), "token")
                 .select(*ids, F.explode("forms").alias("lemma")))
     if normalizer == "porter":
         # vocabulary normalization: stem each DISTINCT token once (a tiny

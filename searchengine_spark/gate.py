@@ -391,6 +391,41 @@ GROUP BY t1.doc_id ORDER BY phrase_tf DESC, t1.doc_id LIMIT 20
 """
 
 
+def q_phrase_site(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SITE-SCOPED phrase twin (`--phrase --site`, phrase.py interval
+    mask): the adjacency join runs over ONE source's docs only — the scope
+    filter is pushed into the scan BEFORE the positional explode, the same
+    prune-first discipline the physical path's doc_id intervals encode."""
+    docs = _load(spark, sf_dir, "documents").filter(F.col("source") == "src3")
+    w1, w2 = SEARCH_TERMS
+    pos = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token")
+    )
+    t1 = pos.filter(F.col("token") == w1).select("doc_id", "pos")
+    t2 = pos.filter(F.col("token") == w2).select(
+        "doc_id", (F.col("pos") - 1).alias("pos"))
+    return (
+        t1.join(t2, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("phrase_tf"))
+        .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+SQL_PHRASE_SITE = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l
+             FROM documents WHERE source = 'src3'),
+pos AS (
+  SELECT doc_id, unnest(l) AS token, generate_subscripts(l, 1) AS pos FROM tok
+)
+SELECT t1.doc_id AS doc_id, count(*)::BIGINT AS phrase_tf
+FROM pos t1 JOIN pos t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+WHERE t1.token = '{SEARCH_TERMS[0]}' AND t2.token = '{SEARCH_TERMS[1]}'
+GROUP BY t1.doc_id ORDER BY phrase_tf DESC, t1.doc_id LIMIT 20
+"""
+
+
 def q_phrase_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch phrase workload twin (positions.phrase_topk_batch's logical
     shape): two phrases share ONE positional token scan, per-qid top-20 via
@@ -1220,11 +1255,15 @@ SQL_CORPUS_SAMPLE = _sample_sql()
 
 def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard packing: contiguous 5000-token shards over the
-    id order (the unit a trainer streams)."""
+    id order (the unit a trainer streams).  bucket_size=64 forces the
+    TWO-LEVEL cumsum (per-bucket windows + broadcast prefix offsets)
+    through many buckets even at gate scale, so the oracle's single
+    global window certifies the parallel plan row-for-row."""
     from .operators.pipeline import pack_shards
 
     docs = _load(spark, sf_dir, "documents")
-    return pack_shards(docs, budget_tokens=5000).orderBy("doc_id")
+    return pack_shards(docs, budget_tokens=5000,
+                       bucket_size=64).orderBy("doc_id")
 
 
 SQL_PACK_SHARDS = """
@@ -1686,6 +1725,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_bm25": q_search_bm25,
     "search_bm25_any": q_search_bm25_any,
     "phrase_search": q_phrase_search,
+    "phrase_site": q_phrase_site,
     "phrase_batch": q_phrase_batch,
     "dict_morphology": q_dict_morphology,
     "search_site_page": q_search_site_page,
@@ -1734,6 +1774,7 @@ ORACLE: dict[str, str] = {
     "search_bm25": SQL_SEARCH_BM25,
     "search_bm25_any": SQL_SEARCH_BM25_ANY,
     "phrase_search": SQL_PHRASE_SEARCH,
+    "phrase_site": SQL_PHRASE_SITE,
     "search_site_page": SQL_SEARCH_SITE_PAGE,
     "proximity_pair": SQL_PROXIMITY_PAIR,
     "snippet": SQL_SNIPPET,

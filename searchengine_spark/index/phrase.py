@@ -56,7 +56,9 @@ def phrase_topk(spark: SparkSession, index_dir: str, store_dir: str | None,
                 phrase: str, k: int = 10,
                 collect_threshold: int = 10_000,
                 impl: str = "auto",
-                site: str | None = None) -> DataFrame:
+                site: str | None = None,
+                max_candidate_df: int | None = 1_000_000,
+                force: bool = False) -> DataFrame:
     """Top-k (doc_id, phrase_tf) docs containing the exact phrase.
 
     The query pattern is ``analyze_positions(phrase)`` — the SAME pipeline
@@ -72,7 +74,19 @@ def phrase_topk(spark: SparkSession, index_dir: str, store_dir: str | None,
     path: O(query-term postings), no store scan, no Python re-analysis)
     and falls back to the store-verify path below otherwise; 'positions' /
     'store' force a path (the parity test runs both).  The store path
-    needs ``store_dir``; the positional path ignores it."""
+    needs ``store_dir``; the positional path ignores it.
+
+    HIGH-DF GUARD (store path only): the store-verify cost class is the
+    candidate count — every candidate doc is re-analyzed in Python.  A
+    common-bigram phrase on a positionless index is correct but O(corpus);
+    the positional sidecar exists precisely for that regime.  Before any
+    posting decode, the candidate count is bounded from the PRUNED
+    DICTIONARY (the same ``gdf_lookup`` the warm-serving guard uses):
+    ``min over positions of Σ df(form)`` is an upper bound on the AND
+    intersection.  Past ``max_candidate_df`` the call FAILS LOUDLY with a
+    "build the positional sidecar" hint instead of silently chugging;
+    ``force=True`` downgrades the failure to a warning and proceeds
+    (``max_candidate_df=None`` disables the estimate entirely)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
@@ -97,6 +111,31 @@ def phrase_topk(spark: SparkSession, index_dir: str, store_dir: str | None,
     if not qforms:
         return empty
     all_forms = sorted({f for fs in qforms for f in fs})
+
+    if max_candidate_df is not None:
+        import json as _json
+
+        from .wand import gdf_lookup
+
+        with open(f"{index_dir}/meta.json") as fh:
+            meta = _json.load(fh)
+        gdf = dict(gdf_lookup(spark, index_dir, all_forms, meta))
+        if gdf:
+            est = min(sum(gdf.get(f, 0) for f in fs) for fs in qforms)
+            if est > max_candidate_df:
+                msg = (f"phrase {phrase!r}: store-verify path would touch "
+                       f"up to ~{est} candidate docs (> max_candidate_df="
+                       f"{max_candidate_df}) — every one re-analyzed in "
+                       f"Python.  Build the positional sidecar "
+                       f"(jobs/build_index.py --positions / "
+                       f"positions.build_positions) for the O(query-term "
+                       f"postings) path, raise max_candidate_df, or pass "
+                       f"force=True to proceed anyway.")
+                if not force:
+                    raise ValueError(msg)
+                import warnings
+
+                warnings.warn(msg, stacklevel=2)
 
     idx = read_index(spark, index_dir, all_forms)
     positions_of: dict[str, list[int]] = {}

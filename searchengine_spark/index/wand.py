@@ -775,6 +775,34 @@ class QueryEngine:
         order = np.lexsort((ids, -tf))[:k]
         return list(zip(ids[order].tolist(), tf[order].tolist()))
 
+    def phrase_rows_batch(self, phrases: dict[str, str], k: int = 10,
+                          sites: dict[str, str] | None = None,
+                          local_threshold_bytes: int = 64 << 20,
+                          ) -> dict[str, list[tuple[int, int]]]:
+        """Whole phrase workload, batch-warm (r4 VERDICT item 3): ONE
+        guarded positional fetch warms the union of every phrase's forms
+        (the same dict-df × bytes-per-posting discipline as
+        :meth:`prefetch`), then every phrase serves DRIVER-SIDE from the
+        warm cache — the offline-eval symmetric of :meth:`topk_batch`.
+        Returns {qid: [(doc_id, phrase_tf), ...]}, per qid row-identical
+        to :meth:`phrase_rows` (parity-tested).
+
+        A phrase whose forms the guard skipped (estimate over threshold)
+        routes to the distributed positional path individually, exactly as
+        the single path would — the batch never collects oversized
+        postings onto the broker.  Per-qid ``sites`` resolve through the
+        engine's interval cache, warmed here alongside the forms."""
+        self._check_fresh()
+        self.prefetch([], sites=sorted({s for s in (sites or {}).values()}),
+                      local_threshold_bytes=local_threshold_bytes,
+                      phrases=[phrases[q] for q in sorted(phrases)])
+        return {
+            qid: self.phrase_rows(
+                phrases[qid], k, site=(sites or {}).get(qid),
+                local_threshold_bytes=local_threshold_bytes)
+            for qid in sorted(phrases)
+        }
+
     def prefetch(self, queries: list[str], sites: list[str] | None = None,
                  local_threshold_bytes: int = 64 << 20,
                  phrases: list[str] | None = None) -> int:

@@ -377,16 +377,21 @@ def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
 
 def write_embeddings_ivf(emb: DataFrame, path: str, n_lists: int = 16,
                          id_col: str = "vec_id", vec_col: str = "embedding",
-                         quantizer: str = "medoid",
+                         quantizer: str = "kmeans",
                          kmeans_iter: int = 5,
                          sample_fraction: float | None = None) -> None:
     """Persist the embedding table partitioned by IVF list (inverted-file
     layout), with the quantizer pinned in ``_ivf_meta.json`` — the 100 TB
     serving layout: a probe reads only its ``list_id=`` dirs.
 
-    ``quantizer='medoid'`` (deterministic, SQL-replicable — the gate
-    oracle's twin) or ``'kmeans'`` (spherical Lloyd refinement for better
-    list balance; see :func:`ivf_centroids_kmeans`)."""
+    ``quantizer='kmeans'`` (the DEFAULT: spherical Lloyd refinement, see
+    :func:`ivf_centroids_kmeans`) or ``'medoid'`` (first-n-ids seed —
+    deterministic and SQL-replicable, kept for the gate-oracle path only).
+    On clustered real embeddings the unrefined medoid seed gives skewed
+    lists; even on IVF-hostile uniform synthetic data the refinement
+    measures strictly better (tests/test_plans.py: hottest list no hotter,
+    stddev of list sizes no larger, recall 26/50 vs 23/50 at nprobe=4) —
+    persisted serving should never default to the seed."""
     import json
     import os
 

@@ -336,6 +336,145 @@ def test_dict_porter_index_end_to_end(spark, tmp_path):
     assert eng2.phrase_rows("went home", 10) == want
 
 
+def _big_forms(n_lex: int = 5_000) -> dict[str, tuple[str, ...]]:
+    """Deterministic ~20k-entry synthetic dictionary: ``n_lex`` lexemes,
+    four inflection keys each, every key mapping to its lemma — the
+    realistic SIZE class of a full lemma dictionary (the reference ships
+    one at this scale, LemmaFinderImpl.java:25-31); no public full-coverage
+    English table exists in this environment, so the size stress is
+    synthetic while staying hygiene-clean (len>=4, non-stopword keys)."""
+    forms: dict[str, tuple[str, ...]] = {}
+    for i in range(n_lex):
+        lemma = _lexeme(i)
+        for suf in ("ed", "ing", "est", "en"):
+            forms[lemma + suf] = (lemma,)
+    return forms
+
+
+def _lexeme(i: int) -> str:
+    """Letter-only synthetic lemma (the pinned analyzer STRIPS digits, so
+    dictionary keys must be pure alpha or they can never fire)."""
+    s = ""
+    for _ in range(3):
+        s += chr(97 + i % 26)
+        i //= 26
+    return "qlem" + s
+
+
+def test_dict_mechanism_at_realistic_size(spark, tmp_path, monkeypatch,
+                                          capsys):
+    """r4 VERDICT item 2: the dictionary mechanism at full-dictionary SIZE
+    (20k entries) through the --forms-json job surface — the broadcast
+    join stays broadcast, build overhead stays bounded, dict_sha pins
+    across resume AND compaction, and cross-inflection search + phrase
+    stay green."""
+    import time as _time
+
+    import jobs.build_index as build_job
+    from searchengine_spark.analyzer import tokenize_jvm
+    from searchengine_spark.index.wand import bm25_topk as _topk
+
+    big = _big_forms()
+    assert len(big) == 20_000
+    fj = str(tmp_path / "forms.json")
+    with open(fj, "w") as fh:
+        json.dump({k: list(v) for k, v in big.items()}, fh)
+
+    rows = []
+    for i in range(120):
+        a, b = _lexeme(i % 40), _lexeme((i + 1) % 40)
+        rows.append((f"org/{'a' if i % 2 else 'b'}", f"s/f{i:03d}.py", "c1",
+                     "py", f"module {a}ed {b}ing runs with filler tokens"))
+    raw = spark.createDataFrame(rows, DOCS_SCHEMA)
+    inp = str(tmp_path / "input")
+    raw.write.parquet(inp)
+
+    # (a) at 20k entries the layered JVM path still BROADCASTS, statically:
+    # both the dict anti-join and the combined vocabulary join are forced
+    # broadcasts, so the (ids, token) stream never takes an exchange —
+    # no sort-merge join, no token-stream hashpartitioning anywhere
+    lem = tokenize_jvm(raw.selectExpr("monotonically_increasing_id() as "
+                                      "doc_id", "content"),
+                       text_col="content", normalizer="dict_porter",
+                       forms=big)
+    plan = lem._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    stream_exchanges = [ln for ln in plan.splitlines()
+                        if "Exchange hashpartitioning" in ln
+                        and "doc_id" in ln]
+    assert not stream_exchanges  # only the vocab distinct may shuffle
+
+    # (b) build through the job surface (--forms-json + --store so the
+    # compaction step below has consistent ids), timing it against a
+    # pinned-normalizer build of the same corpus
+    idx = str(tmp_path / "idx")
+    store = str(tmp_path / "store")
+    t0 = _time.perf_counter()
+    monkeypatch.setattr("sys.argv", [
+        "build_index.py", "--input", inp, "--out", idx, "--store", store,
+        "--segments", "3", "--salt", "2", "--buckets", "8", "--no-resume",
+        "--normalizer", "english-porter", "--forms-json", fj, "--positions",
+        "--cores", "8",
+    ])
+    build_job.main()
+    dict_s = _time.perf_counter() - t0
+    capsys.readouterr()
+    t0 = _time.perf_counter()
+    build_index(ingest(raw), str(tmp_path / "idx_pinned"), n_segments=3,
+                salt=2, n_buckets=8, resume=False)
+    pinned_s = _time.perf_counter() - t0
+    assert dict_s < pinned_s * 10 + 30  # bounded overhead, generous slack
+
+    with open(f"{idx}/meta.json") as fh:
+        meta = json.load(fh)
+    assert meta["normalizer"] == "dict_porter" and meta["dict_sha"]
+    sha0 = meta["dict_sha"]
+    norm, forms_back = index_analyzer(spark, idx, meta)
+    assert norm == "dict_porter" and forms_back == big
+
+    # (c) cross-inflection search: any suffix of lemmo0000 reaches every
+    # doc carrying any inflection of it
+    from searchengine_spark.streaming.store import read_store
+
+    lx0, lx1 = _lexeme(0), _lexeme(1)
+    id_rows = read_store(spark, store).select("doc_id", "content").collect()
+    want = sorted(r["doc_id"] for r in id_rows if lx0 in r["content"])
+    assert want
+    for q in (f"{lx0}ing", f"{lx0}est", f"{lx0}en"):
+        got = sorted(r["doc_id"] for r in _topk(spark, idx, q, 200).collect())
+        assert got == want, q
+
+    # (d) cross-inflection phrase over the positional sidecar: the doc
+    # bigram "<lx0>ed <lx1>ing" matches under DIFFERENT suffixes
+    pwant = sorted(r["doc_id"] for r in id_rows
+                   if f"{lx0}ed {lx1}ing" in r["content"])
+    got = sorted(r["doc_id"] for r in phrase_topk_positions(
+        spark, idx, f"{lx0}ing {lx1}est", 200).collect())
+    assert got == pwant and got
+    eng = QueryEngine(spark, idx)
+    assert sorted(d for d, _ in eng.phrase_rows(
+        f"{lx0}en {lx1}ed", 200)) == pwant
+
+    # (e) dict_sha pins across resume...
+    build_index(read_store(spark, store), idx, n_segments=3, salt=2,
+                n_buckets=8)
+    with open(f"{idx}/meta.json") as fh:
+        m2 = json.load(fh)
+    assert m2["normalizer"] == "dict_porter" and m2["dict_sha"] == sha0
+
+    # ...and across compaction (jobs/compact.py resolves the morphology
+    # BEFORE its resume=False rebuild)
+    from jobs.compact import run_compact
+
+    run_compact(spark, store, idx)
+    with open(f"{idx}/meta.json") as fh:
+        m3 = json.load(fh)
+    assert m3["normalizer"] == "dict_porter" and m3["dict_sha"] == sha0
+    got = sorted(r["doc_id"] for r in _topk(spark, idx, f"{lx0}ing",
+                                            200).collect())
+    assert got == want  # dense re-rank kept ids here (already dense)
+
+
 def test_dict_porter_incremental_rebuild_refreshes_positions(spark, tmp_path):
     """rebuild_segments on a layered-normalizer index must keep BOTH the
     normalizer and a fresh positional sidecar (the refresh resolves the

@@ -122,6 +122,31 @@ def test_prefetch_phrases_warms_cache(spark, env):
         spark, idx, "sorvel tamok", k=10)
 
 
+def test_phrase_rows_batch_matches_single_path(spark, env):
+    """r4 VERDICT item 3: phrase_rows_batch = ONE guarded fetch + a
+    driver-side loop.  Per qid row-identical to phrase_rows (including
+    empty/degenerate phrases and per-qid site scopes), and after its one
+    prefetch NO further positional fetch or distributed fallback runs."""
+    idx, docs = env
+    repo = docs.select("repo").distinct().orderBy("repo").collect()[0]["repo"]
+    workload = {f"p{i}": ph for i, ph in enumerate(PHRASES)}
+    sites = {"p0": repo, "p1": "org9/nope"}  # scoped, unknown, rest global
+
+    single = QueryEngine(spark, idx)
+    want = {qid: single.phrase_rows(ph, k=50, site=sites.get(qid))
+            for qid, ph in workload.items()}
+
+    eng = QueryEngine(spark, idx)
+    got = eng.phrase_rows_batch(workload, k=50, sites=sites)
+    assert got == want
+
+    # the batch's serving loop must be fully warm: poison every Spark path
+    eng._fetch_positions = lambda *a, **kw: (_ for _ in ()).throw(
+        AssertionError("batch left a form cold"))
+    again = eng.phrase_rows_batch(workload, k=50, sites=sites)
+    assert again == want
+
+
 def test_rebuild_invalidates_warm_phrase_cache(spark, tmp_path):
     """An incremental rebuild under a live engine must drop warm positional
     state (fingerprint) and refuse a stale sidecar (has_positions)."""

@@ -168,6 +168,44 @@ def test_pack_shards_two_level_identity_and_plan(spark):
     assert "SinglePartition" not in plan
 
 
+def test_clean_corpus_job_pack_budget_end_to_end(spark, tmp_path, capsys,
+                                                 monkeypatch):
+    """r4 VERDICT item 6: the cleaning job's --pack-budget stage ends the
+    funnel in trainer-ready shards — output partitioned by shard=, the
+    printed JSON carries the funnel counts + n_shards, and the shard
+    assignment satisfies the contiguous token-budget invariant over the
+    job's own n_tokens column (computed AFTER --mask-pii)."""
+    import jobs.clean_corpus as job
+
+    out = str(tmp_path / "cleaned")
+    budget = 3000
+    monkeypatch.setattr("sys.argv", [
+        "clean_corpus.py", "--synthetic", "200", "--out", out,
+        "--pack-budget", str(budget), "--mask-pii", "--cores", "8",
+    ])
+    job.main()
+    stats = __import__("json").loads(capsys.readouterr().out.strip()
+                                     .splitlines()[-1])
+    assert stats["n_in"] == 200 and stats["n_out"] > 0
+    assert stats["n_shards"] >= 1
+
+    rows = (spark.read.parquet(out)
+            .select("doc_id", "n_tokens", "shard", "content", "sha256")
+            .orderBy("doc_id").collect())
+    assert len(rows) == stats["n_out"]
+    shards = {r["shard"] for r in rows}
+    assert len(shards) == stats["n_shards"]
+    cum = 0
+    for r in rows:  # contiguous budget cuts over the post-mask token counts
+        assert r["shard"] == cum // budget
+        cum += r["n_tokens"]
+    # the mask-pii re-hash invariant survives the pack join + shard write
+    import hashlib
+    for r in rows[:20]:
+        assert r["sha256"] == hashlib.sha256(
+            r["content"].encode()).hexdigest()
+
+
 def test_decontaminate_planted_overlap(spark):
     """A doc copying an 8-gram from the benchmark is dropped; unrelated
     docs and sub-8-token docs survive; the gram join is a broadcast."""

@@ -187,7 +187,10 @@ def test_ivf_partitioned_probe_prunes_and_matches_adhoc(spark, tmp_path):
 
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     path = str(tmp_path / "emb_ivf")
-    write_embeddings_ivf(emb, path, n_lists=16)
+    # medoid pinned EXPLICITLY: this test derives probes from the seed
+    # centroids out-of-band, which only matches a medoid-pinned table
+    # (kmeans became the persisted-layout default in round 5)
+    write_embeddings_ivf(emb, path, n_lists=16, quantizer="medoid")
 
     q = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
     probes = _ivf_probes(q, ivf_centroids(emb, 16), 2)
@@ -251,9 +254,18 @@ def test_ivf_kmeans_quantizer_balances_and_serves(spark, tmp_path):
         hits += len(got & exact)
     assert hits >= 18
 
-    # persisted layout round-trips through the SAME probe path
+    # persisted layout round-trips through the SAME probe path — and the
+    # DEFAULT write path pins the kmeans quantizer (r4 VERDICT item 7)
+    import json as _json
+
     path = str(tmp_path / "emb_ivf_km")
-    write_embeddings_ivf(emb, path, n_lists=16, quantizer="kmeans", kmeans_iter=3)
+    write_embeddings_ivf(emb, path, n_lists=16, kmeans_iter=3)
+    with open(f"{path}/_ivf_meta.json") as fh:
+        meta = _json.load(fh)
+    assert meta["quantizer"] == "kmeans"
+    pinned = [(int(c), v) for c, v in meta["centroids"]]
+    s_pinned = sizes(pinned)
+    assert s_pinned[-1] <= s_med[-1]  # balanced-lists on the default path
     q = [float(x) for x in emb.filter(F.col("vec_id") == 100).first()["embedding"]]
     got = [(r["vec_id"], r["cos_sim"]) for r in
            ivf_topk_partitioned(spark, path, q, 10, nprobe=4, exclude_id=100).collect()]
