@@ -498,6 +498,38 @@ def tokenize(docs: DataFrame, text_col: str = "content",
     raise ValueError(f"unknown analyzer impl: {impl!r}")
 
 
+_STEM_MEMO: dict = {}
+_STEM_MEMO_MAX = 2_000_000  # ~tens of MB of worker memory at the cap
+
+
+def _stem_arrow(tokens, stem_fn, pa, pc):
+    """Stem an arrow string array via dictionary-encode: Python touches
+    only the batch's UNIQUE tokens, the per-occurrence mapping is an
+    arrow ``take`` over contiguous buffers.  Returns a plain Array.
+
+    Stems memoize per worker process (keyed (stem_fn, token)): Spark
+    reuses python workers across batches and tasks, and a corpus's hot
+    vocabulary repeats in every batch — without the memo each batch
+    re-stems the same tokens.  Bounded: a pathological vocabulary clears
+    the memo rather than growing without limit."""
+    enc = tokens.dictionary_encode()
+    memo = _STEM_MEMO
+    if len(memo) > _STEM_MEMO_MAX:
+        memo.clear()
+    fid = id(stem_fn)
+    stems = []
+    for u in enc.dictionary.to_pylist():
+        k = (fid, u)
+        s = memo.get(k)
+        if s is None:
+            s = stem_fn(u)
+            memo[k] = s
+        stems.append(s)
+    stemmed = pa.array(stems, type=pa.string())
+    out = pc.take(stemmed, enc.indices)
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
 def doc_term_stats_arrow(docs: DataFrame, text_col: str = "content",
                          normalizer: str = "pinned",
                          forms: dict[str, tuple[str, ...]] | None = None,
@@ -522,7 +554,28 @@ def doc_term_stats_arrow(docs: DataFrame, text_col: str = "content",
 
     schema = "repo string, doc_id long, lemma string, tf int, dl long"
     narrowed = docs.select("repo", "doc_id", text_col)
-    table = _forms_table(normalizer, forms)
+    # EVERY normalizer runs through this fused stage (r5): table-driven
+    # ones ('pinned'/'dict') as pure arrow-kernel work; the stemmer family
+    # ('porter'/'stem', and 'dict_porter' for its dictionary MISSES) adds
+    # one dictionary-encode per batch — Python touches only the batch's
+    # UNIQUE tokens, and the O(corpus tokens) stream still never leaves
+    # its partition.  Before r5 the stemmer normalizers fell back to the
+    # unfused tokenize path, paying a full per-occurrence shuffle: a
+    # 40k-doc dict_porter build measured 46 s vs 17 s pinned; fused it is
+    # back in the pinned cost class.
+    if normalizer == "dict_porter":
+        from .functions.porter import porter_stem as _stem_fn
+
+        table = dict_porter_table(forms)
+    elif normalizer in ("porter", "stem"):
+        if normalizer == "porter":
+            from .functions.porter import porter_stem as _stem_fn
+        else:
+            _stem_fn = stem_token
+        table = {}
+    else:
+        table = _forms_table(normalizer, forms)
+        _stem_fn = None
 
     def _batches(it):
         import pyarrow as pa
@@ -562,8 +615,12 @@ def doc_term_stats_arrow(docs: DataFrame, text_col: str = "content",
                     for form in table[tkn]:
                         xt.append(form)
                         xp.append(p)
-                toks = pa.concat_arrays([bt, pa.array(xt, type=bt.type)])
+                if _stem_fn is not None and len(bt):
+                    bt = _stem_arrow(bt, _stem_fn, pa, pc)
+                toks = pa.concat_arrays([bt, pa.array(xt, type=pa.string())])
                 par = pa.concat_arrays([bp, pa.array(xp, type=bp.type)])
+            elif _stem_fn is not None and len(toks):
+                toks = _stem_arrow(toks, _stem_fn, pa, pc)
             if len(toks) == 0:
                 continue
             tf_t = (

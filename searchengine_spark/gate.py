@@ -810,6 +810,66 @@ WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2
 """
 
 
+def q_near_dup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster collapse over the exact-Jaccard near-dup pairs: connected
+    components close the pair evidence's transitivity (A~B, B~C ⇒ one
+    cluster), component = min reachable id, kept = 1 for the
+    representative.  The Spark side is iterative min-label propagation
+    (operators/dedup.py dedup_components); the oracle re-derives the same
+    fixpoint with a recursive CTE."""
+    from .operators.dedup import dedup_components, ngram_jaccard_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+    comp = dedup_components(pairs)
+    return (
+        comp.select(
+            F.col("id").alias("doc_id"),
+            F.col("component"),
+            (F.col("id") == F.col("component")).cast("long").alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_NEAR_DUP_COLLAPSE = """
+WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+  FROM d
+  WHERE len(w) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(id, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b
+)
+SELECT id AS doc_id, min(lab) AS component,
+       (CASE WHEN min(lab) = id THEN 1 ELSE 0 END)::BIGINT AS kept
+FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs verified by exact Jaccard.  The hash
     family is the PORTABLE md5-based universal family (operators/dedup.py
@@ -1738,6 +1798,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prefix_filter": q_prefix_filter,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
+    "near_dup_collapse": q_near_dup_collapse,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine,
@@ -1785,6 +1846,7 @@ ORACLE: dict[str, str] = {
     "prefix_filter": SQL_PREFIX_FILTER,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "near_dup_collapse": SQL_NEAR_DUP_COLLAPSE,
     "ann_cosine_topk": SQL_ANN_COSINE,
     "text_quality": SQL_TEXT_QUALITY,
     "phrase_batch": SQL_PHRASE_BATCH,

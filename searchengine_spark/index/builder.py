@@ -336,13 +336,15 @@ def build_index(
         # (row-group pruning against doc_id-sorted store files)
         analyzed = analyzed.filter(seg_ranges_filter(missing, seg_size))
 
-    if analyzer_impl == "arrow" and normalizer in ("pinned", "dict"):
+    if analyzer_impl == "arrow":
         # fused Arrow analyzer: (tf, dl) computed entirely map-side in one
-        # mapInPandas (a doc's tokens never leave its partition) — the first
+        # mapInArrow (a doc's tokens never leave its partition) — the first
         # shuffle of the whole build is the salted posting merge itself.
-        # Table-driven normalizers only: the stemmers ('porter'/'stem') run
-        # through the tokenize path below (the porter JVM shape is an
-        # O(vocabulary) normalization join, not a per-token table lookup).
+        # EVERY normalizer routes here (r5): the stemmer family stems the
+        # batch's UNIQUE tokens via dictionary-encode inside the same
+        # kernel, so 'porter'/'dict_porter' builds no longer pay the
+        # unfused tokenize path's full per-occurrence shuffle (40k docs:
+        # 46 s -> pinned-class).
         from ..analyzer import doc_term_stats_arrow
 
         stats = doc_term_stats_arrow(analyzed, normalizer=normalizer,

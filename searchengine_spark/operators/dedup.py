@@ -364,3 +364,73 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def dedup_components(pairs: DataFrame, id_a: str = "doc_a",
+                     id_b: str = "doc_b", max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs: (id, component), where
+    ``component`` is the SMALLEST doc id reachable through the pair graph
+    — the deterministic cluster representative every dedup policy needs
+    (drop-all-but-one, keep-longest-then-min-id, etc.).
+
+    The pair producers (``ngram_jaccard_pairs``, ``minhash_lsh_pairs``,
+    ``simhash_pairs``) emit transitive evidence: A~B and B~C without A~C.
+    Collapsing on raw pairs would keep one doc per PAIR, not per cluster;
+    components close the transitivity.
+
+    Shape (min-label propagation): labels start as self; each round every
+    node takes the min of its own and its neighbours' labels — one
+    shuffle join + min-aggregate per round, converging in O(cluster
+    diameter) rounds.  Near-dup graphs are quasi-cliques (LSH bands put
+    similar docs in shared buckets), so diameters are tiny; ``max_iter``
+    caps pathological chains.  Each round materializes via
+    localCheckpoint (bounded lineage — iterative algorithms must not
+    stack ``max_iter`` joins into one plan), and convergence is detected
+    by the label SUM: labels only ever decrease, so an unchanged sum is
+    exactly a fixpoint — one cheap scalar agg per round, no extra join.
+    Everything is O(pairs + nodes-in-pairs); docs outside any pair never
+    enter the computation."""
+    e = pairs.select(F.col(id_a).cast("long").alias("src"),
+                     F.col(id_b).cast("long").alias("dst"))
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("component", F.col("id"))
+              .localCheckpoint())
+    prev = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("_nmin"))
+        )
+        labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"),
+                        F.coalesce("_nmin", "component")).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        cur = labels.agg(F.sum("component")).collect()[0][0]
+        if cur == prev:
+            break
+        prev = cur
+    return labels
+
+
+def collapse_near_dups(docs: DataFrame, pairs: DataFrame,
+                       id_col: str = "doc_id",
+                       id_a: str = "doc_a", id_b: str = "doc_b") -> DataFrame:
+    """Drop every clustered doc except its component representative (the
+    cluster's min id); docs in no near-dup pair pass through untouched.
+    One anti-join against the (small — clustered docs only) loser set."""
+    comp = dedup_components(pairs, id_a, id_b)
+    losers = (comp.filter(F.col("id") != F.col("component"))
+              .select(F.col("id").alias(id_col)))
+    return docs.join(losers, id_col, "left_anti")

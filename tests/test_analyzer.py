@@ -227,6 +227,46 @@ def test_doc_term_stats_arrow_equals_pandas(spark, corpus_rows):
     assert a == p and len(a) > 1000
 
 
+def test_doc_term_stats_arrow_stemmer_normalizers(spark, corpus_rows):
+    """r5: the fused zero-shuffle stage now runs the STEMMER family too
+    (dictionary-encode per batch — Python only on unique tokens).  Its
+    (tf, dl) output must equal the pure-Python analyze() oracle under
+    'porter', 'stem' and the layered 'dict_porter'."""
+    from collections import Counter
+
+    from searchengine_spark.analyzer import analyze, doc_term_stats_arrow
+    from searchengine_spark.functions.english import ENGLISH_FORMS
+    from searchengine_spark.schema import DOCS_SCHEMA
+
+    sample = corpus_rows[:60] + [
+        ("org/x", "s/a.py", "c1", "py",
+         "yesterday people went running and the children left quietly"),
+        ("org/x", "s/b.py", "c1", "py",
+         "connection connected connecting relations relating related"),
+    ]
+    df = spark.createDataFrame(sample, DOCS_SCHEMA).selectExpr(
+        "repo", "abs(hash(path)) as doc_id", "content")
+    id_content = [(r["doc_id"], r["content"]) for r in df.collect()]
+    for norm, forms in (("porter", None), ("stem", None),
+                        ("dict_porter", ENGLISH_FORMS)):
+        got_tf: dict = {}
+        got_dl: dict = {}
+        for r in doc_term_stats_arrow(df, normalizer=norm,
+                                      forms=forms).collect():
+            got_tf[(r["doc_id"], r["lemma"])] = r["tf"]
+            got_dl.setdefault(r["doc_id"], r["dl"])
+        want_tf: dict = {}
+        want_dl: dict = {}
+        for did, content in id_content:
+            c = Counter(analyze(content, norm, forms))
+            for lemma, n in c.items():
+                want_tf[(did, lemma)] = n
+            if c:
+                want_dl[did] = sum(c.values())
+        assert got_tf == want_tf, norm
+        assert got_dl == want_dl, norm
+
+
 def _inflection_dict(rows) -> dict[str, tuple[str, ...]]:
     """Dictionary-morphology fixture: a few hundred surface forms derived
     from the corpus vocabulary, several mapping to MULTIPLE normal forms —

@@ -133,3 +133,35 @@ def test_minhash_arrow_jvm_signature_parity(spark):
              for r in _minhash_wide_arrow(docs, "text", "doc_id", 3, 64).collect()}
     assert set(jvm) == set(arrow)
     assert jvm == arrow
+
+
+def test_dedup_components_transitive_chain_and_collapse(spark):
+    """r5: connected components must close PAIR transitivity (a long chain
+    where only adjacent docs pair up collapses to ONE cluster — several
+    propagation rounds, not one), labels are the min reachable id, and
+    collapse keeps exactly one representative per cluster plus every
+    unpaired doc."""
+    from searchengine_spark.operators.dedup import (
+        collapse_near_dups,
+        dedup_components,
+    )
+
+    # chain 10-11-...-17 (diameter 7), a 2-cluster {30, 31}, isolated 99
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 17)] + [(30, 31)],
+        "doc_a long, doc_b long")
+    comp = {r["id"]: r["component"]
+            for r in dedup_components(pairs).collect()}
+    assert comp == {**{i: 10 for i in range(10, 18)}, 30: 30, 31: 30}
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in list(range(10, 18)) + [30, 31, 99]],
+        "doc_id long, text string")
+    kept = sorted(r["doc_id"]
+                  for r in collapse_near_dups(docs, pairs).collect())
+    assert kept == [10, 30, 99]  # one rep per cluster + the unpaired doc
+
+    # empty pair set: nothing collapses
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dedup_components(empty).count() == 0
+    assert collapse_near_dups(docs, empty).count() == docs.count()
