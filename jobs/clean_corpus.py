@@ -46,6 +46,12 @@ def main() -> None:
     ap.add_argument("--decontaminate-from", default=None,
                     help="parquet dir of benchmark texts (content column): "
                          "drop survivors sharing any word 8-gram with it")
+    ap.add_argument("--near-dup-threshold", type=float, default=None,
+                    help="also collapse NEAR-duplicate clusters: MinHash+"
+                         "LSH candidate pairs verified at this exact-"
+                         "Jaccard threshold, connected components close "
+                         "pair transitivity, one min-id representative "
+                         "kept per cluster")
     ap.add_argument("--pack-budget", type=int, default=None,
                     help="token budget per training shard: survivors get a "
                          "contiguous-by-doc_id shard assignment (two-level "
@@ -98,7 +104,8 @@ def main() -> None:
     cleaned = P.clean_corpus_rows(docs, **kw)
     stage_counts: dict[str, int] = {}
     extra_stages = (args.max_repetition is not None or args.sample is not None
-                    or args.decontaminate_from)
+                    or args.decontaminate_from
+                    or args.near_dup_threshold is not None)
     if extra_stages:
         # per-stage funnel: materialize each counted stage ONCE
         # (localCheckpoint — the repo's eager-materialization discipline)
@@ -106,6 +113,22 @@ def main() -> None:
         # upstream dedup join / decontaminate explode
         cleaned = cleaned.localCheckpoint()
         stage_counts["n_post_dedup"] = cleaned.count()
+    if args.near_dup_threshold is not None:
+        from searchengine_spark.operators.dedup import (
+            collapse_near_dups,
+            minhash_lsh_pairs,
+        )
+
+        # near-dup cluster collapse AFTER exact dedup (exact dups are
+        # gone, so pairs here are true near-dups): LSH candidates ->
+        # exact-Jaccard verify -> connected components -> keep the min-id
+        # representative per cluster
+        pairs = minhash_lsh_pairs(cleaned, text_col="content",
+                                  id_col="doc_id",
+                                  threshold=args.near_dup_threshold)
+        cleaned = collapse_near_dups(cleaned, pairs,
+                                     id_col="doc_id").localCheckpoint()
+        stage_counts["n_post_near_dup"] = cleaned.count()
     if args.max_repetition is not None:
         from searchengine_spark.functions.text import repetition_ratio
 

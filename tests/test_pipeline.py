@@ -182,12 +182,16 @@ def test_clean_corpus_job_pack_budget_end_to_end(spark, tmp_path, capsys,
     monkeypatch.setattr("sys.argv", [
         "clean_corpus.py", "--synthetic", "200", "--out", out,
         "--pack-budget", str(budget), "--mask-pii", "--cores", "8",
+        "--near-dup-threshold", "0.3",
     ])
     job.main()
     stats = __import__("json").loads(capsys.readouterr().out.strip()
                                      .splitlines()[-1])
     assert stats["n_in"] == 200 and stats["n_out"] > 0
     assert stats["n_shards"] >= 1
+    # the near-dup collapse stage reports its funnel count and never grows
+    assert 0 < stats["n_post_near_dup"] <= stats["n_post_dedup"]
+    assert stats["n_out"] == stats["n_post_near_dup"]
 
     rows = (spark.read.parquet(out)
             .select("doc_id", "n_tokens", "shard", "content", "sha256")
