@@ -183,6 +183,20 @@ def main() -> None:
         t0 = time.perf_counter()
         build_positions(docs, out)
         q_times["positions_build"] = round(time.perf_counter() - t0, 3)
+
+        # 2d — FUSED single-scan positional build (r5): index data + the
+        # positional sidecar from ONE analysis pass
+        # (build_index(positions=True)); compare against index_build +
+        # positions_build, the two-pass total it replaces.  Byte-identical
+        # output (tests/test_fused_build.py).
+        out_fused = tempfile.mkdtemp(prefix="bench_idx_fused_")
+        try:
+            t0 = time.perf_counter()
+            build_index(docs, out_fused, n_segments=4, salt=8, n_buckets=16,
+                        block_size=128, resume=False, positions=True)
+            q_times["fused_build"] = round(time.perf_counter() - t0, 3)
+        finally:
+            shutil.rmtree(out_fused, ignore_errors=True)
         phrase_topk(spark, out, None, "sorvel veltadrolix", 10).collect()
         t0 = time.perf_counter()
         phrase_topk(spark, out, None, "sorvel veltadrolix", 10).collect()

@@ -111,13 +111,17 @@ def main() -> None:
 
     from searchengine_spark.index.builder import build_index
 
+    # --positions rides the SAME corpus scan as the index data (fused union
+    # kernel) when the arrow analyzer is in play — the jvm analyzer keeps
+    # the standalone second pass
+    fused = args.positions and args.analyzer == "arrow"
     meta = build_index(
         docs, args.out, n_segments=args.segments, salt=args.salt,
         n_buckets=args.buckets, block_size=args.block_size,
         analyzer_impl=args.analyzer, resume=not args.no_resume,
-        normalizer=normalizer, forms=forms,
+        normalizer=normalizer, forms=forms, positions=fused,
     )
-    if args.positions:
+    if args.positions and not fused:
         from searchengine_spark.index.positions import build_positions
 
         t_pos = time.perf_counter()

@@ -187,6 +187,7 @@ def build_index(
     fixed_avgdl: float | None = None,
     normalizer: str = "pinned",
     forms: dict[str, tuple[str, ...]] | None = None,
+    positions: bool = False,
 ) -> dict:
     """Build (or resume) the physical index under ``out_dir``.
 
@@ -203,7 +204,14 @@ def build_index(
     normalizer and its persisted ``dict_forms`` sidecar, and every query
     path analyzes with the same table via :func:`index_analyzer` (the
     reference ships its morphology inside the index the same way —
-    LemmaFinderImpl.java:25-31 singleton)."""
+    LemmaFinderImpl.java:25-31 singleton).
+
+    ``positions=True`` builds the positional sidecar IN THE SAME corpus
+    scan (fused union kernel, ``positions.doc_stats_and_positions_arrow``):
+    the two-pass route (build_index + build_positions) tokenizes and
+    normalizes every document twice — at 100 TB the second full analysis
+    pass is the largest avoidable cost in a positional build.  Output is
+    byte-identical to the two-pass route (parity-tested)."""
     import shutil
 
     from .checkpoint import segment_done, write_manifest
@@ -232,6 +240,11 @@ def build_index(
             f"'dict_porter', 'porter', 'stem'), got {normalizer!r}")
     if normalizer == "dict" and analyzer_impl != "arrow":
         raise ValueError("normalizer='dict' requires analyzer_impl='arrow'")
+    if positions and analyzer_impl != "arrow":
+        raise ValueError(
+            "positions=True (fused single-scan sidecar) requires "
+            "analyzer_impl='arrow'; build with arrow or run "
+            "build_positions separately")
     if normalizer in ("dict", "dict_porter") and forms is None:
         raise ValueError(f"normalizer={normalizer!r} needs a forms mapping")
     if normalizer in ("dict", "dict_porter") and old_meta is None:
@@ -312,6 +325,16 @@ def build_index(
         and int(old_meta.get("n_docs", -1)) == n_docs
         and all(segment_done(out_dir, s) for s in range(n_segments))
     ):
+        if positions and not old_meta.get("has_positions"):
+            # index data is current but the sidecar was never built (or a
+            # previous refresh was interrupted): standalone pass, scoped to
+            # whatever segments lack their positions dir
+            from .positions import build_positions
+
+            lack = [s for s in range(n_segments)
+                    if not os.path.isdir(f"{out_dir}/positions/segment={s}")]
+            return build_positions(docs_ingested, out_dir,
+                                   segments=lack or None)
         return old_meta
 
     import time as _time
@@ -345,21 +368,35 @@ def build_index(
         # kernel, so 'porter'/'dict_porter' builds no longer pay the
         # unfused tokenize path's full per-occurrence shuffle (40k docs:
         # 46 s -> pinned-class).
-        from ..analyzer import doc_term_stats_arrow
+        # MATERIALIZE stats once (localCheckpoint, not .cache()): both the
+        # avgdl action and the merge pipeline consume it, and the SQL
+        # cache's compressed-columnar form measured ~3x slower to re-scan
+        # into Arrow batches than checkpointed rows on this host.  At
+        # cluster scale this materialization is a staging write to durable
+        # storage.
+        if positions:
+            # fused single-scan build: ONE analysis pass yields both the
+            # (tf, dl) stat rows and the positional occurrence stream as a
+            # union; both merges below consume filtered views of one
+            # checkpoint (pos IS NULL <=> stat row)
+            from .positions import doc_stats_and_positions_arrow
 
-        stats = doc_term_stats_arrow(analyzed, normalizer=normalizer,
-                                     forms=forms)
+            combined = doc_stats_and_positions_arrow(
+                analyzed, normalizer=normalizer, forms=forms,
+            ).localCheckpoint()
+            stats = combined.filter(F.col("pos").isNull()).drop("pos")
+            posflat = combined.filter(F.col("pos").isNotNull()).select(
+                "doc_id", "lemma", "pos")
+        else:
+            from ..analyzer import doc_term_stats_arrow
+
+            stats = doc_term_stats_arrow(analyzed, normalizer=normalizer,
+                                         forms=forms).localCheckpoint()
     else:
         tf = term_frequencies(analyzed, impl=analyzer_impl,
                               normalizer=normalizer, forms=forms)
         dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-        stats = tf.join(dl, "doc_id")
-    # MATERIALIZE stats once (localCheckpoint, not .cache()): both the avgdl
-    # action and the merge pipeline consume it, and the SQL cache's
-    # compressed-columnar form measured ~3x slower to re-scan into Arrow
-    # batches than checkpointed rows on this host.  At cluster scale this
-    # materialization is a staging write to durable storage.
-    stats = stats.localCheckpoint()
+        stats = tf.join(dl, "doc_id").localCheckpoint()
     timings["analyze_plan_s"] = round(_time.perf_counter() - _t, 2)
     _t = _time.perf_counter()
 
@@ -408,6 +445,15 @@ def build_index(
         json.dump(meta, fh, indent=1)
 
     if not missing:
+        if positions:
+            # the meta rewrite above cleared has_positions; restore it (and
+            # build any never-built segments' sidecar) — the untouched
+            # segments' dirs are still valid
+            from .positions import build_positions
+
+            lack = [s for s in range(n_segments)
+                    if not os.path.isdir(f"{out_dir}/positions/segment={s}")]
+            return build_positions(docs_ingested, out_dir, segments=lack)
         # (no unpersist: stats is localCheckpoint()'d, not persist()'d — its
         # blocks are freed when the checkpointed RDD is driver-GC'd)
         return meta
@@ -651,6 +697,29 @@ def build_index(
         with open(f"{out_dir}/meta.json", "w") as fh:
             json.dump(meta, fh, indent=1)
     timings["manifests_s"] = round(_time.perf_counter() - _t, 2)
+    _t = _time.perf_counter()
+
+    if positions and has_data:
+        # positional sidecar from the SAME analysis pass (no second corpus
+        # scan): merge-encode the fused occurrence stream for the rebuilt
+        # segments.  Runs after the manifests exist — the positional stats
+        # ride them (estimate-before-fetch discipline).
+        from .positions import _merge_write_positions, build_positions
+
+        meta = _merge_write_positions(posflat, out_dir, meta, missing)
+        # A partially-resumed build over an index that never had a sidecar
+        # leaves the untouched segments positionless — their text was not
+        # analyzed by this job, so cover them with the standalone pass
+        # (O(those ranges), the minimum possible work).  Indexes that
+        # already had positions don't hit this: only the rebuilt segments'
+        # sidecar dirs were cleared above.
+        rest = [s for s in range(n_segments)
+                if s not in set(missing)
+                and not os.path.isdir(f"{out_dir}/positions/segment={s}")]
+        if rest:
+            meta = build_positions(docs_ingested, out_dir, segments=rest)
+        timings["positions_s"] = round(_time.perf_counter() - _t, 2)
+
     meta["timings"] = timings
     return meta
 

@@ -176,6 +176,158 @@ def doc_lemma_positions_stemmed(docs: DataFrame, text_col: str,
         raw.join(vocab, "token").select("doc_id", "lemma", "pos"))
 
 
+def doc_stats_and_positions_arrow(docs: DataFrame, text_col: str = "content",
+                                  normalizer: str = "pinned",
+                                  forms: dict[str, tuple[str, ...]] | None = None,
+                                  ) -> DataFrame:
+    """ONE analysis pass emitting BOTH build inputs as a union stream:
+
+      - stat rows       (doc_id, lemma, tf, dl, pos=NULL)   — what
+        ``analyzer.doc_term_stats_arrow`` yields (value-identical,
+        parity-tested), feeding the main posting merge;
+      - occurrence rows (doc_id, lemma, tf=NULL, dl=NULL, pos) — what
+        ``doc_lemma_positions`` / ``doc_lemma_positions_stemmed`` yield
+        (value-identical), feeding the positional merge.
+
+    This is the fused single-scan build's analyzer stage
+    (``builder.build_index(positions=True)``): a positional index built
+    the two-pass way tokenizes + normalizes every document TWICE — at
+    100 TB the second full corpus scan is the single largest avoidable
+    cost in the whole pipeline.  Everything per-doc is computed map-side
+    in the same Arrow batch (zero shuffle, like both parent kernels);
+    the stemmer family normalizes in-kernel over the batch's UNIQUE
+    tokens (``analyzer._stem_arrow``, per-worker memo), which for the
+    positional half replaces ``doc_lemma_positions_stemmed``'s
+    O(vocabulary) join — same values, one stage earlier."""
+    from ..analyzer import (_CAMEL_1, _CAMEL_2, _STRIP_PY, MIN_TOKEN_LEN,
+                            STOP_WORDS, _forms_table, _stem_arrow,
+                            dict_porter_table, stem_token)
+
+    if normalizer == "dict_porter":
+        from ..functions.porter import porter_stem as _stem_fn
+
+        table = dict_porter_table(forms)
+    elif normalizer in ("porter", "stem"):
+        if normalizer == "porter":
+            from ..functions.porter import porter_stem as _stem_fn
+        else:
+            _stem_fn = stem_token
+        table = {}
+    else:
+        table = _forms_table(normalizer, forms)
+        _stem_fn = None
+
+    schema = "doc_id long, lemma string, tf int, dl long, pos int"
+    narrowed = docs.select("doc_id", text_col)
+
+    def _batches(it):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        stop_set = pa.array(sorted(STOP_WORDS))
+        exc_set = pa.array(list(table), type=pa.string())
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            content = batch.column(batch.schema.get_field_index(text_col))
+            x = pc.fill_null(content, "")
+            x = pc.replace_substring_regex(x, pattern=_CAMEL_1[0],
+                                           replacement=r"\1 \2")
+            x = pc.replace_substring_regex(x, pattern=_CAMEL_2[0],
+                                           replacement=r"\1 \2")
+            x = pc.utf8_lower(x)
+            x = pc.replace_substring_regex(x, pattern=_STRIP_PY,
+                                           replacement=" ")
+            lists = pc.split_pattern_regex(x, pattern=r"\s+")
+            toks = pc.list_flatten(lists)
+            par = pc.list_parent_indices(lists)
+            keep = pc.and_(
+                pc.greater_equal(pc.utf8_length(toks), MIN_TOKEN_LEN),
+                pc.invert(pc.is_in(toks, value_set=stop_set)),
+            )
+            toks = pc.filter(toks, keep)
+            par = pc.filter(par, keep)
+            if len(toks) == 0:
+                continue
+            # position = rank of the surviving source token per doc,
+            # BEFORE multi-lemma expansion (expanded forms share ONE
+            # position) — identical to _positions_kernel
+            parn = par.to_numpy(zero_copy_only=False).astype(np.int64)
+            new_doc = np.empty(parn.size, dtype=bool)
+            new_doc[0] = True
+            new_doc[1:] = parn[1:] != parn[:-1]
+            starts = np.flatnonzero(new_doc)
+            run_len = np.diff(np.concatenate([starts, [parn.size]]))
+            pos = np.arange(parn.size, dtype=np.int64) - np.repeat(
+                starts, run_len)
+            pos_arr = pa.array(pos, type=pa.int32())
+            exc_mask = pc.is_in(toks, value_set=exc_set)
+            if (pc.sum(exc_mask).as_py() or 0) > 0:
+                base_mask = pc.invert(exc_mask)
+                bt = pc.filter(toks, base_mask)
+                bp = pc.filter(par, base_mask)
+                bpos = pc.filter(pos_arr, base_mask)
+                et = pc.filter(toks, exc_mask).to_pylist()
+                ep = pc.filter(par, exc_mask).to_pylist()
+                epos = pc.filter(pos_arr, exc_mask).to_pylist()
+                xt: list[str] = []
+                xp: list[int] = []
+                xpos: list[int] = []
+                for tkn, p_, q_ in zip(et, ep, epos):
+                    for form in table[tkn]:
+                        xt.append(form)
+                        xp.append(p_)
+                        xpos.append(q_)
+                # dictionary expansions are FINAL lemmas; only the base
+                # (raw) subset goes through the stemmer — the same
+                # provenance rule as doc_lemma_positions_stemmed
+                if _stem_fn is not None and len(bt):
+                    bt = _stem_arrow(bt, _stem_fn, pa, pc)
+                toks = pa.concat_arrays([bt, pa.array(xt, type=pa.string())])
+                par = pa.concat_arrays([bp, pa.array(xp, type=bp.type)])
+                pos_arr = pa.concat_arrays(
+                    [bpos, pa.array(xpos, type=pa.int32())])
+            elif _stem_fn is not None:
+                toks = _stem_arrow(toks, _stem_fn, pa, pc)
+            id_idx = batch.schema.get_field_index("doc_id")
+            ids = pc.cast(pc.take(batch.column(id_idx), par), pa.int64())
+            lemmas = pc.cast(toks, pa.string())
+            n_occ = len(lemmas)
+            yield pa.record_batch(
+                [ids, lemmas, pa.nulls(n_occ, pa.int32()),
+                 pa.nulls(n_occ, pa.int64()), pos_arr],
+                names=["doc_id", "lemma", "tf", "dl", "pos"],
+            )
+            # stat rows off the SAME normalized arrays (tf per (doc,
+            # lemma), dl = Σ tf per doc — multi-lemma expansions count
+            # once per form, matching doc_term_stats_arrow)
+            tf_t = (
+                pa.table({"i": par, "lemma": lemmas})
+                .group_by(["i", "lemma"], use_threads=False)
+                .aggregate([([], "count_all")])
+            )
+            dl_t = (
+                tf_t.group_by(["i"], use_threads=False)
+                .aggregate([("count_all", "sum")])
+            )
+            out = tf_t.join(dl_t, keys="i", use_threads=False)
+            i = out["i"].combine_chunks()
+            n_st = len(i)
+            yield pa.record_batch(
+                [
+                    pc.cast(pc.take(batch.column(id_idx), i), pa.int64()),
+                    pc.cast(out["lemma"].combine_chunks(), pa.string()),
+                    pc.cast(out["count_all"].combine_chunks(), pa.int32()),
+                    pc.cast(out["count_all_sum"].combine_chunks(),
+                            pa.int64()),
+                    pa.nulls(n_st, pa.int32()),
+                ],
+                names=["doc_id", "lemma", "tf", "dl", "pos"],
+            )
+
+    return narrowed.mapInArrow(_batches, schema=schema)
+
+
 def _positions_kernel(docs: DataFrame, text_col: str,
                       table: dict[str, tuple[str, ...]],
                       mark_raw: bool) -> DataFrame:
@@ -287,20 +439,19 @@ def build_positions(docs_ingested: DataFrame, index_dir: str,
     deletion.  MUST run against the same corpus state as the index data
     (the caller's contract — rebuild_segments wires it for incremental
     flows)."""
-    from pyspark.sql import functions as F
-
-    from .builder import hash_bucket_col, seg_ranges_filter
+    from .builder import seg_ranges_filter
 
     spark = docs_ingested.sparkSession
     with open(f"{index_dir}/meta.json") as fh:
         meta = json.load(fh)
     seg_size = int(meta["seg_size"])
-    n_buckets = int(meta["n_buckets"])
-    salt = int(meta["salt"])
     target = sorted(segments) if segments is not None else list(
         range(int(meta["n_segments"])))
     if not target:
-        return meta
+        # nothing to (re)build — run the manifest/meta bookkeeping only
+        # (restores has_positions after a data rebuild that touched no
+        # sidecar dirs)
+        return _merge_write_positions(None, index_dir, meta, [])
 
     docs = docs_ingested.select("doc_id", "content")
     if segments is not None:
@@ -313,6 +464,28 @@ def build_positions(docs_ingested: DataFrame, index_dir: str,
     else:
         # stemmer family: raw-token kernel + O(vocabulary) stem join
         pos = doc_lemma_positions_stemmed(docs, "content", norm, forms)
+    return _merge_write_positions(pos, index_dir, meta, target)
+
+
+def _merge_write_positions(pos: DataFrame, index_dir: str, meta: dict,
+                           target: list[int]) -> dict:
+    """Shared back half of the positional build: salted partial runs ->
+    (segment, bucket) merge-encode -> dynamic overwrite -> manifest /
+    meta positional stats.  ``pos`` is the FLAT (doc_id, lemma, pos)
+    occurrence stream covering (at least) the ``target`` segments'
+    doc-id ranges — either freshly analyzed (:func:`build_positions`) or
+    the positional half of the fused single-scan build
+    (``builder.build_index(positions=True)``)."""
+    from pyspark.sql import functions as F
+
+    from .builder import hash_bucket_col
+
+    if not target:
+        return _positions_bookkeeping(None, index_dir, [])
+    spark = pos.sparkSession
+    seg_size = int(meta["seg_size"])
+    n_buckets = int(meta["n_buckets"])
+    salt = int(meta["salt"])
     seg_col = (F.col("doc_id") / seg_size).cast("int")
     # salted runs travel as two ALIGNED primitive arrays — one entry per
     # OCCURRENCE (struct-field extraction after sort_array, JVM-side);
@@ -403,13 +576,20 @@ def build_positions(docs_ingested: DataFrame, index_dir: str,
         .partitionBy("segment", "bucket")
         .parquet(f"{index_dir}/positions")
     )
-    # per-segment positional stats ride the INDEX manifests (same lifecycle:
-    # a data rebuild rewrites its segments' manifests without pos keys, and
-    # this refresh re-adds them) so the serving broker can estimate a form's
-    # positional bytes from its dictionary df BEFORE any collect — the same
-    # estimate-before-fetch discipline as BM25 warm serving.  The agg scans
-    # only the TARGET segments (partition pruning) and only two int columns
-    # (column pruning; nbytes was persisted for exactly this).
+    return _positions_bookkeeping(spark, index_dir, target)
+
+
+def _positions_bookkeeping(spark, index_dir: str, target: list[int]) -> dict:
+    """Positional stats + ``has_positions`` flag maintenance.
+
+    Per-segment positional stats ride the INDEX manifests (same lifecycle:
+    a data rebuild rewrites its segments' manifests without pos keys, and
+    the sidecar refresh re-adds them) so the serving broker can estimate a
+    form's positional bytes from its dictionary df BEFORE any collect — the
+    same estimate-before-fetch discipline as BM25 warm serving.  The agg
+    scans only the TARGET segments (partition pruning) and only two int
+    columns (column pruning; nbytes was persisted for exactly this).  With
+    an empty ``target`` this is a pure bookkeeping repair (no Spark job)."""
     from pyspark.sql import functions as _F
 
     from .checkpoint import all_manifests, read_manifest, write_manifest
@@ -422,7 +602,7 @@ def build_positions(docs_ingested: DataFrame, index_dir: str,
         .groupBy("segment")
         .agg(_F.sum("df").alias("p"), _F.sum("nbytes").alias("b"))
         .collect()
-    }
+    } if target else {}
     for s in target:
         m = read_manifest(index_dir, s)
         if m is None:
