@@ -53,19 +53,15 @@ def run_compact(spark, store_dir: str, index_dir: str) -> dict:
     docs = dstore.read_store(spark, store_dir).localCheckpoint()
     n = docs.count()
     n_segments = max(1, -(-n // seg_size))
+    # positions=had_positions: an index that served phrases before
+    # compaction keeps doing so after (every doc_id moved, so it's a full
+    # sidecar refresh) — fused into the rebuild's own analysis pass
     meta = build_index(
         docs, index_dir, n_segments=n_segments,
         salt=int(imeta["salt"]), n_buckets=int(imeta["n_buckets"]),
         block_size=int(imeta["block_size"]), resume=False,
-        normalizer=normalizer, forms=forms,
+        normalizer=normalizer, forms=forms, positions=had_positions,
     )
-    if had_positions:
-        # the rebuild cleared has_positions; an index that served phrases
-        # before compaction keeps doing so after (full refresh — every
-        # doc_id moved)
-        from searchengine_spark.index.positions import build_positions
-
-        build_positions(docs, index_dir)
     return {
         "mode": "compact", "store": smeta,
         "index": {k: meta[k] for k in ("n_docs", "n_segments", "seg_size")},

@@ -126,19 +126,17 @@ def rebuild_segments(docs_ingested: DataFrame, index_dir: str,
         p = pathlib.Path(f"{index_dir}/manifests/segment={s}.json")
         if p.exists():
             p.unlink()
+    # positions=had_positions: the sidecar for the rebuilt segments rides
+    # the SAME analysis pass as their data (fused kernel — no second scan
+    # of the rebuilt ranges); stale positions are never served because the
+    # meta rewrite clears has_positions until the refresh lands
     build_index(
         docs_ingested,
         index_dir,
         resume=True,  # seg_size/salt/buckets/block_size/avgdl pinned from meta
         fixed_avgdl=meta["avgdl"],
+        positions=had_positions,
     )
-    if had_positions:
-        # the meta rewrite above cleared has_positions (stale positions are
-        # never served); refresh the sidecar for the rebuilt segments and
-        # re-enable — O(rebuilt ranges), same discipline as data/dict/sites
-        from ..index.positions import build_positions
-
-        build_positions(docs_ingested, index_dir, segs)
     return segs
 
 
