@@ -207,3 +207,28 @@ def test_fused_partial_rebuild_refreshes_only_touched(spark, tmp_path):
     assert d1 == d0
     assert p1 == p0
     assert m1["pos_posting_bytes"] == m0["pos_posting_bytes"]
+
+
+def test_build_job_positions_is_fused_and_serves(spark, tmp_path,
+                                                 monkeypatch, capsys):
+    """jobs/build_index.py --positions under the arrow analyzer: ONE build
+    call produces data + sidecar (timings carry the fused positions_s, no
+    separate pass), meta flags set, and a phrase query serves from it."""
+    import jobs.build_index as job
+
+    out = str(tmp_path / "idx")
+    monkeypatch.setattr("sys.argv", [
+        "build_index.py", "--synthetic", "400", "--out", out,
+        "--segments", "2", "--positions", "--cores", "8",
+    ])
+    job.main()
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_docs"] == 400
+    assert stats["meta"]["has_positions"] is True
+    # fused: positions_s recorded by build_index itself, alongside the
+    # analyzer timing (the two-pass route would re-report it in the job)
+    assert "positions_s" in stats["meta"]["timings"]
+    assert os.path.isdir(f"{out}/positions/segment=0")
+
+    got = phrase_topk(spark, out, None, "tamok velsor", k=5).collect()
+    assert got  # organic adjacency of common corpus terms
