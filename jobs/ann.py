@@ -83,8 +83,24 @@ def main() -> None:
     has_queries = bool(args.query_id or args.vector)
     if not args.build and not has_queries:
         ap.error("nothing to do: pass --build and/or --query-id/--vector")
-    layout = args.layout or (args.build if args.build
-                             else ("ivf" if args.index else "brute"))
+    if args.layout:
+        layout = args.layout
+    elif args.build:
+        layout = args.build
+    elif args.index:
+        # infer from the layout's own pinned meta sidecar — serving an LSH
+        # table through the IVF reader would fail on a missing meta file
+        import os
+
+        if os.path.exists(f"{args.index}/_ivf_meta.json"):
+            layout = "ivf"
+        elif os.path.exists(f"{args.index}/_lsh_meta.json"):
+            layout = "lsh"
+        else:
+            ap.error(f"--index {args.index} has neither _ivf_meta.json nor "
+                     "_lsh_meta.json — not a jobs/ann.py --build layout")
+    else:
+        layout = "brute"
     if layout in ("lsh", "ivf") and not (args.index or args.build):
         ap.error(f"--layout {layout} needs --index (or --build {layout} "
                  "--out to create one)")
@@ -110,7 +126,9 @@ def main() -> None:
                                  quantizer=args.quantizer)
         result["build"] = {
             "layout": args.build, "out": args.out,
-            "n_vectors": emb.count(),
+            # count what was WRITTEN, from the layout itself — parquet
+            # footer row counts, no re-scan of the source table
+            "n_vectors": spark.read.parquet(f"{args.out}/data").count(),
             "seconds": round(time.perf_counter() - t0, 2),
         }
         index_dir = args.out

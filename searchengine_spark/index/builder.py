@@ -327,14 +327,14 @@ def build_index(
     ):
         if positions and not old_meta.get("has_positions"):
             # index data is current but the sidecar was never built (or a
-            # previous refresh was interrupted): standalone pass, scoped to
-            # whatever segments lack their positions dir
+            # previous refresh was interrupted): FULL standalone pass — a
+            # cleared flag means leftover positions dirs are untrustworthy
+            # (a crash mid-write leaves a dir with a subset of its
+            # buckets), so the documented recovery is to rebuild them all
+            # (incremental.rebuild_segments docstring)
             from .positions import build_positions
 
-            lack = [s for s in range(n_segments)
-                    if not os.path.isdir(f"{out_dir}/positions/segment={s}")]
-            return build_positions(docs_ingested, out_dir,
-                                   segments=lack or None)
+            return build_positions(docs_ingested, out_dir)
         return old_meta
 
     import time as _time
@@ -446,14 +446,16 @@ def build_index(
 
     if not missing:
         if positions:
-            # the meta rewrite above cleared has_positions; restore it (and
-            # build any never-built segments' sidecar) — the untouched
-            # segments' dirs are still valid
+            # the meta rewrite above cleared has_positions.  If the OLD
+            # flag was on, every untouched dir is part of a known-complete
+            # sidecar: segments=[] is a pure bookkeeping repair.  If it was
+            # off, leftover dirs are untrustworthy (interrupted write) —
+            # full rebuild, the documented recovery path.
             from .positions import build_positions
 
-            lack = [s for s in range(n_segments)
-                    if not os.path.isdir(f"{out_dir}/positions/segment={s}")]
-            return build_positions(docs_ingested, out_dir, segments=lack)
+            trust = bool(old_meta and old_meta.get("has_positions"))
+            return build_positions(docs_ingested, out_dir,
+                                   segments=[] if trust else None)
         # (no unpersist: stats is localCheckpoint()'d, not persist()'d — its
         # blocks are freed when the checkpointed RDD is driver-GC'd)
         return meta
@@ -706,18 +708,22 @@ def build_index(
         # ride them (estimate-before-fetch discipline).
         from .positions import _merge_write_positions, build_positions
 
-        meta = _merge_write_positions(posflat, out_dir, meta, missing)
-        # A partially-resumed build over an index that never had a sidecar
-        # leaves the untouched segments positionless — their text was not
-        # analyzed by this job, so cover them with the standalone pass
-        # (O(those ranges), the minimum possible work).  Indexes that
-        # already had positions don't hit this: only the rebuilt segments'
-        # sidecar dirs were cleared above.
-        rest = [s for s in range(n_segments)
-                if s not in set(missing)
-                and not os.path.isdir(f"{out_dir}/positions/segment={s}")]
+        # A partially-resumed build over an index whose flag was OFF
+        # leaves the untouched segments without a trustworthy sidecar
+        # (never built, or an interrupted write left partial dirs) — their
+        # text was not analyzed by this job, so cover them with the
+        # standalone pass first.  Indexes whose flag was ON don't hit
+        # this: only the rebuilt segments' dirs were cleared above, and
+        # the untouched ones belong to a known-complete sidecar.  The
+        # fused merge runs LAST so its bookkeeping flips has_positions
+        # only once every segment is covered (the flip itself also
+        # requires all dirs present — positions._positions_bookkeeping).
+        trust = bool(old_meta and old_meta.get("has_positions"))
+        rest = ([] if trust
+                else [s for s in range(n_segments) if s not in set(missing)])
         if rest:
-            meta = build_positions(docs_ingested, out_dir, segments=rest)
+            build_positions(docs_ingested, out_dir, segments=rest)
+        meta = _merge_write_positions(posflat, out_dir, meta, missing)
         timings["positions_s"] = round(_time.perf_counter() - _t, 2)
 
     meta["timings"] = timings

@@ -632,7 +632,21 @@ def _positions_bookkeeping(spark, index_dir: str, target: list[int]) -> dict:
         meta["pos_posting_bytes"] = int(tot_b)
     else:
         meta.pop("pos_posting_bytes", None)
-    meta["has_positions"] = True
+    # SOUNDNESS: the flag may only flip on when EVERY live segment has its
+    # sidecar dir — a crash between a partial refresh and its complement
+    # (or a multi-step fused build) must never re-enable an incomplete
+    # sidecar: phrase_topk would auto-dispatch positional and silently
+    # drop every match in the gap segments.  Dir presence is the cheap
+    # completeness signal; partially-WRITTEN dirs are excluded by the
+    # caller contract (each build/refresh rmtree's its target dirs before
+    # writing, and untouched dirs are only trusted when the previous flag
+    # was on — see build_index's `trust`).
+    # a segment with no data dir has nothing to serve (deletes emptied its
+    # id range) — vacuously covered, or an emptied index would wedge off
+    meta["has_positions"] = all(
+        os.path.isdir(f"{index_dir}/positions/segment={s}")
+        or not os.path.isdir(f"{index_dir}/data/segment={s}")
+        for s in range(int(meta["n_segments"])))
     with open(f"{index_dir}/meta.json", "w") as fh:
         json.dump(meta, fh, indent=1)
     return meta

@@ -73,6 +73,15 @@ def test_lsh_build_and_literal_vector(spark, tmp_path, monkeypatch, capsys):
     assert hits and hits[0]["vec_id"] == 9  # its own vector: cos_sim 1.0
     assert hits[0]["cos_sim"] == pytest.approx(1.0)
 
+    # --index without --layout: inferred from the layout's meta sidecar
+    # (an LSH table must not be served through the IVF reader)
+    again = _run(monkeypatch, capsys, [
+        "--emb", EMB, "--index", out, f"--vector={vec}", "-k", "3",
+        "--nprobe", "2", "--cores", "8",
+    ])
+    assert again["layout"] == "lsh"
+    assert again["results"]["vec:0"] == hits
+
 
 @pytest.mark.parametrize("argv", [
     ["--emb", EMB],                                    # nothing to do

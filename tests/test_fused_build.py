@@ -232,3 +232,46 @@ def test_build_job_positions_is_fused_and_serves(spark, tmp_path,
 
     got = phrase_topk(spark, out, None, "tamok velsor", k=5).collect()
     assert got  # organic adjacency of common corpus terms
+
+
+def test_interrupted_sidecar_not_trusted(spark, tmp_path):
+    """Crash-recovery soundness: a positions dir left by an INTERRUPTED
+    write (flag off, some bucket files missing) must not be trusted —
+    positions=True on current data rebuilds the whole sidecar and the
+    artifacts end identical to an uncorrupted build.  Also: the flag may
+    never flip on while a data-bearing segment lacks its sidecar dir."""
+    import glob as _glob
+    import shutil
+
+    rows = gen_corpus_local(160)
+    store = str(tmp_path / "store")
+    init_store(spark.createDataFrame(rows, DOCS_SCHEMA), store)
+    docs = read_store(spark, store).localCheckpoint()
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx, n_segments=2, salt=4, n_buckets=8, resume=False,
+                positions=True)
+    _, p0, m0 = _artifact_snapshot(spark, idx)
+
+    # simulate the crash: flag cleared, one segment's sidecar half-written
+    with open(f"{idx}/meta.json") as fh:
+        meta = json.load(fh)
+    meta["has_positions"] = False
+    with open(f"{idx}/meta.json", "w") as fh:
+        json.dump(meta, fh)
+    victims = sorted(_glob.glob(f"{idx}/positions/segment=0/bucket=*"))
+    assert len(victims) > 1
+    shutil.rmtree(victims[0])
+
+    meta = build_index(docs, idx, positions=True)  # data current: recovery
+    assert meta["has_positions"] is True
+    _, p1, m1 = _artifact_snapshot(spark, idx)
+    assert p1 == p0
+    assert m1["pos_posting_bytes"] == m0["pos_posting_bytes"]
+
+    # flag soundness: with a data-bearing segment's dir missing, the
+    # bookkeeping refuses to flip the flag on
+    shutil.rmtree(f"{idx}/positions/segment=1")
+    from searchengine_spark.index.positions import _positions_bookkeeping
+
+    m = _positions_bookkeeping(None, idx, [])
+    assert m["has_positions"] is False
