@@ -37,6 +37,15 @@ Two executions of the SAME pinned definition:
   tree-sitter analyzer would plug in.
 
 ``tests/test_analyzer.py`` asserts the two agree row-for-row.
+
+MAINTENANCE: the per-batch tokenize preamble (steps 1-5 + expansion) is
+additionally materialized in three fused Arrow kernels whose value each
+parity test pins back to this definition — ``doc_term_stats_arrow`` /
+``doc_term_stats_pandas`` (below), ``index/positions.py``
+``_positions_kernel`` and ``doc_stats_and_positions_arrow``.  A change to
+the pinned shape must land in ALL of them; the agreement tests
+(test_analyzer.py, test_phrase_positions.py, test_fused_build.py) fail on
+any drift.
 """
 
 from __future__ import annotations
